@@ -1,0 +1,157 @@
+"""DOM traversal and text-measurement scalars.
+
+Ports /root/reference/internal/dom/dom_utils.go:14-204. These are the
+"string functions" of the extraction engine; every scoring threshold depends
+on their exact semantics:
+
+- ``get_inner_text`` joins child texts with a single space and trims
+  (dom_utils.go:127-158) — NOT plain textContent concatenation.
+- all lengths are UTF-8 *byte* lengths (Go ``len()``).
+- link density discounts ``href="#..."`` anchors by 0.3 with ``int()``
+  truncation of the product (dom_utils.go:162-181).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .regexps import NORMALIZE, byte_len
+from .vdom import VElement, VNode, VText
+
+__all__ = [
+    "get_elements_by_tag_name",
+    "get_elements_by_tag_names",
+    "is_probably_visible",
+    "get_node_ancestors",
+    "has_ancestor_tag",
+    "get_inner_text",
+    "get_link_density",
+    "get_text_density",
+]
+
+
+def get_elements_by_tag_name(element: VElement, tag_name: str) -> list[VElement]:
+    """Pre-order recursive tag scan; ``*`` matches all (dom_utils.go:14-48)."""
+    return get_elements_by_tag_names(element, [tag_name])
+
+
+def get_elements_by_tag_names(
+    element: VElement, tag_names: list[str]
+) -> list[VElement]:
+    tags = [t.lower() for t in tag_names]
+    star = "*" in tags
+    tagset = frozenset(tags)
+    result: list[VElement] = []
+
+    def walk(el: VElement) -> None:
+        if star or el.tag_name in tagset:
+            result.append(el)
+        for child in el.children:
+            if isinstance(child, VElement):
+                walk(child)
+
+    walk(element)
+    return result
+
+
+def is_probably_visible(node: VElement) -> bool:
+    """dom_utils.go:51-60."""
+    style = node.get_attribute("style")
+    return (
+        "display: none" not in style
+        and "visibility: hidden" not in style
+        and not node.has_attribute("hidden")
+        and node.get_attribute("aria-hidden") != "true"
+    )
+
+
+def get_node_ancestors(node: VElement, max_depth: int = 0) -> list[VElement]:
+    """Parent chain, closest first; max_depth<=0 means unlimited
+    (dom_utils.go:64-76)."""
+    ancestors: list[VElement] = []
+    current = node.parent
+    depth = 0
+    while current is not None and (max_depth <= 0 or depth < max_depth):
+        ancestors.append(current)
+        current = current.parent
+        depth += 1
+    return ancestors
+
+
+def has_ancestor_tag(node: VNode, tag_name: str, max_depth: int = 0) -> bool:
+    """dom_utils.go:96-123."""
+    tag_name = tag_name.lower()
+    current: Optional[VElement] = node.parent
+    depth = 0
+    while current is not None:
+        if max_depth > 0 and depth >= max_depth:
+            return False
+        if current.tag_name == tag_name:
+            return True
+        current = current.parent
+        depth += 1
+    return False
+
+
+def get_inner_text(node: VNode, normalize_spaces: bool = False) -> str:
+    """Space-joined, trimmed descendant text (dom_utils.go:127-158).
+
+    For elements: children are concatenated with a single ``" "`` inserted
+    before every child after the first *whenever accumulated text is
+    non-empty* — even if that child then contributes nothing (faithful to
+    the Go loop structure at dom_utils.go:134-148). Child elements recurse
+    with normalize=False and are therefore trimmed at every level; the
+    ``\\s{2,}``→" " collapse (ASCII \\s, RE2 parity) applies only at this
+    level when ``normalize_spaces`` is True.
+    """
+    if isinstance(node, VText):
+        text = node.text_content
+    else:
+        parts: list[str] = []
+        empty = True
+        for i, child in enumerate(node.children):
+            if i > 0 and not empty:
+                parts.append(" ")
+            if isinstance(child, VText):
+                parts.append(child.text_content)
+                if child.text_content:
+                    empty = False
+            else:
+                child_text = get_inner_text(child, False)
+                if child_text != "":
+                    parts.append(child_text)
+                    empty = False
+        text = "".join(parts)
+
+    text = text.strip()
+    if normalize_spaces:
+        text = NORMALIZE.sub(" ", text)
+    return text
+
+
+def get_link_density(element: VElement) -> float:
+    """Ratio of (discounted) link-text bytes to total text bytes
+    (dom_utils.go:162-181)."""
+    text_length = byte_len(get_inner_text(element, True))
+    if text_length == 0:
+        return 0.0
+
+    link_length = 0
+    for link in get_elements_by_tag_name(element, "a"):
+        href = link.get_attribute("href")
+        coefficient = 0.3 if href.startswith("#") else 1.0
+        # int() truncation of the float product, as in Go (dom_utils.go:177)
+        link_length += int(byte_len(get_inner_text(link, True)) * coefficient)
+
+    return link_length / text_length
+
+
+def get_text_density(element: VElement) -> float:
+    """Text bytes per child *element* (min 1) (dom_utils.go:185-204)."""
+    text_length = byte_len(get_inner_text(element, True))
+    if text_length == 0:
+        return 0.0
+    child_element_count = sum(
+        1 for c in element.children if isinstance(c, VElement)
+    )
+    return text_length / max(child_element_count, 1)

@@ -1,0 +1,295 @@
+"""HTML parsing into the virtual DOM.
+
+The reference parses with golang.org/x/net/html (a WHATWG HTML5 parser) and
+converts to its VDOM (/root/reference/internal/parser/parser.go:16-126):
+tags lowercased (:98), comments/doctype dropped (:124), a body synthesized
+when absent (:70-82), and the <html> element's own attributes dropped
+(:47 creates a fresh "html" element).
+
+html5lib is not available in this environment, so this module implements an
+HTML5-*subset* tree builder on top of the stdlib tokenizer
+(``html.parser.HTMLParser``). It covers the constructions the extraction
+algorithm is sensitive to:
+
+- void elements never take children
+- ``<p>`` is implicitly closed by block-level start tags; ``<li>`` by
+  ``<li>``; ``<dt>/<dd>``, ``<tr>``, ``<td>/<th>``, ``<option>``,
+  ``<thead>/<tbody>/<tfoot>`` likewise
+- head/body synthesis with head-only elements kept in <head>
+- character references decoded in text (convert_charrefs)
+- script/style contents kept as raw text (tokenizer CDATA mode)
+- one newline immediately after ``<pre>``/``<textarea>``/``<listing>``
+  start tags is dropped (HTML5 tokenizer rule honoured by x/net/html)
+- ``<x-media .../>`` — OUR span-codec placeholder, not an HTML tag — is
+  treated as void so interleaved media refs never swallow siblings
+
+Not implemented (golden corpora avoid them; fixture-001 does not use them):
+table foster-parenting, the adoption-agency algorithm for misnested
+formatting tags, template contents, SVG/MathML foreign content.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from .vdom import VDocument, VElement, VText
+
+__all__ = ["parse_html", "serialize_to_html", "serialize_document_to_html"]
+
+VOID_ELEMENTS = frozenset({
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+    "x-media",  # our media placeholder (span codec), void by definition
+})
+
+HEAD_ONLY = frozenset({
+    "base", "basefont", "bgsound", "link", "meta", "title", "noframes",
+    "style", "script", "template",
+})
+
+# Start tags that implicitly close an open <p> (HTML5 "close a p element")
+P_CLOSERS = frozenset({
+    "address", "article", "aside", "blockquote", "details", "dialog", "dir",
+    "div", "dl", "fieldset", "figcaption", "figure", "footer", "form",
+    "h1", "h2", "h3", "h4", "h5", "h6", "header", "hgroup", "hr", "main",
+    "menu", "nav", "ol", "p", "pre", "section", "table", "ul", "dd", "dt",
+    "li", "xmp", "listing",
+})
+
+# tag -> set of open tags it implicitly closes (nearest-first search)
+SIBLING_CLOSERS: dict[str, frozenset[str]] = {
+    "li": frozenset({"li"}),
+    "dt": frozenset({"dt", "dd"}),
+    "dd": frozenset({"dt", "dd"}),
+    "tr": frozenset({"tr", "td", "th"}),
+    "td": frozenset({"td", "th"}),
+    "th": frozenset({"td", "th"}),
+    "thead": frozenset({"thead", "tbody", "tfoot", "tr", "td", "th"}),
+    "tbody": frozenset({"thead", "tbody", "tfoot", "tr", "td", "th"}),
+    "tfoot": frozenset({"thead", "tbody", "tfoot", "tr", "td", "th"}),
+    "option": frozenset({"option"}),
+    "optgroup": frozenset({"option", "optgroup"}),
+}
+
+# Elements that bound the implicit-close search (approximate HTML5 scopes)
+SCOPE_BOUNDARIES = frozenset({
+    "html", "body", "table", "td", "th", "caption", "template", "applet",
+    "object", "marquee", "select",
+})
+
+PRE_LIKE = frozenset({"pre", "textarea", "listing"})
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = VElement("html")  # <html> attrs dropped (parser.go:47)
+        self.head: VElement | None = None
+        self.body: VElement | None = None
+        self.stack: list[VElement] = [self.root]
+        self.mode = "before_head"
+
+    # -- helpers -------------------------------------------------------
+    def _current(self) -> VElement:
+        return self.stack[-1]
+
+    def _ensure_head(self) -> None:
+        if self.head is None:
+            self.head = VElement("head")
+            self.root.append_child(self.head)
+
+    def _ensure_body(self) -> None:
+        self._ensure_head()
+        if self.body is None:
+            self.body = VElement("body")
+            self.root.append_child(self.body)
+        if self.mode != "in_body":
+            # drop any open head-structure from the stack
+            self.stack = [self.root, self.body]
+            self.mode = "in_body"
+
+    def _insert(self, tag: str, attrs, push: bool) -> VElement:
+        el = VElement(tag)
+        for name, value in attrs:
+            # duplicate attributes: first one wins (HTML5 tokenizer rule)
+            if name not in el.attributes:
+                el.attributes[name] = value if value is not None else ""
+        self._current().append_child(el)
+        if push:
+            self.stack.append(el)
+        return el
+
+    def _implicit_close(self, tag: str) -> None:
+        """Pop elements that the HTML5 algorithm would close before ``tag``."""
+        if tag in P_CLOSERS:
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag_name
+                if t == "p":
+                    del self.stack[i:]
+                    break
+                if t in SCOPE_BOUNDARIES:
+                    break
+        closers = SIBLING_CLOSERS.get(tag)
+        if closers:
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag_name
+                if t in closers:
+                    del self.stack[i:]
+                    break
+                if t in SCOPE_BOUNDARIES and t not in closers:
+                    break
+
+    # -- tokenizer callbacks -------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "html":
+            return  # root exists; x/net/html attrs are dropped anyway
+        if tag == "head":
+            if self.mode == "before_head":
+                self._ensure_head()
+                self.stack = [self.root, self.head]
+                self.mode = "in_head"
+            return
+        if tag == "body":
+            self._ensure_body()
+            if self.body is not None and not self.body.attributes:
+                for name, value in attrs:
+                    if name not in self.body.attributes:
+                        self.body.attributes[name] = (
+                            value if value is not None else ""
+                        )
+            return
+
+        if self.mode == "before_head":
+            if tag in HEAD_ONLY:
+                self._ensure_head()
+                self.stack = [self.root, self.head]
+                self.mode = "in_head"
+            else:
+                self._ensure_body()
+        elif self.mode == "in_head":
+            if tag not in HEAD_ONLY and self._current() is self.head:
+                self._ensure_body()
+
+        self._implicit_close(tag)
+        self._insert(tag, attrs, push=tag not in VOID_ELEMENTS)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        # "<div/>" on a non-void HTML element: x/net/html ignores the
+        # self-closing flag and keeps the element open — replicate that.
+        if tag in VOID_ELEMENTS:
+            self.handle_starttag(tag, attrs)
+        else:
+            self.handle_starttag(tag, attrs)
+            # element stays open (pushed by handle_starttag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in ("html", "body", "head"):
+            if tag == "head" and self.mode == "in_head":
+                self.stack = [self.root]
+                self.mode = "after_head"
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag_name == tag:
+                del self.stack[i:]
+                return
+        # unmatched end tag: ignored
+
+    def handle_data(self, data: str) -> None:
+        if not data:
+            return
+        if self.mode in ("before_head", "after_head"):
+            if data.strip() == "":
+                return  # whitespace between structure tags is dropped
+            self._ensure_body()
+        elif self.mode == "in_head" and self._current() is self.head:
+            if data.strip() == "":
+                # whitespace inside <head> between elements: keep in head
+                # (x/net/html inserts it); it never affects body text.
+                self.head.append_child(VText(data))
+                return
+            self._ensure_body()
+
+        cur = self._current()
+        if (
+            cur.tag_name in PRE_LIKE
+            and not cur.children
+            and data.startswith("\n")
+        ):
+            data = data[1:]
+            if not data:
+                return
+        # merge adjacent text nodes (x/net/html produces one text node per
+        # contiguous run; the tokenizer may split on entity boundaries)
+        if cur.children and isinstance(cur.children[-1], VText):
+            cur.children[-1].text_content += data
+        else:
+            cur.append_child(VText(data))
+
+    # comments / doctype / PIs dropped (parser.go:124)
+    def handle_comment(self, data: str) -> None:  # noqa: D102
+        pass
+
+    def handle_decl(self, decl: str) -> None:  # noqa: D102
+        pass
+
+    def handle_pi(self, data: str) -> None:  # noqa: D102
+        pass
+
+    def unknown_decl(self, data: str) -> None:  # noqa: D102
+        pass
+
+
+def parse_html(html_content: str, base_uri: str = "") -> VDocument:
+    """Parse an HTML string into a VDocument (parser.go:16-90).
+
+    Like the reference, a body element is always present on return (:70-82),
+    and the returned document element is always a fresh ``<html>``.
+    """
+    builder = _TreeBuilder()
+    builder.feed(html_content)
+    builder.close()
+    builder._ensure_body()
+    doc = VDocument(builder.root, builder.body)
+    doc.base_uri = base_uri
+    doc.document_uri = base_uri
+    return doc
+
+
+def _escape_text(text: str) -> str:
+    """html.EscapeString equivalent (escapes &, ', <, >, ")."""
+    return (
+        text.replace("&", "&amp;")
+        .replace("'", "&#39;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&#34;")
+    )
+
+
+def serialize_to_html(node) -> str:
+    """Serialize a node with sorted attributes (parser.go:129-201)."""
+    if node is None:
+        return ""
+    if isinstance(node, VText):
+        return _escape_text(node.text_content)
+    if not isinstance(node, VElement):
+        return ""
+
+    parts = ["<", node.tag_name]
+    for key in sorted(node.attributes):
+        parts.append(f' {key}="{_escape_text(node.attributes[key])}"')
+    if node.tag_name in VOID_ELEMENTS and not node.children:
+        parts.append("/>")
+        return "".join(parts)
+    parts.append(">")
+    for child in node.children:
+        parts.append(serialize_to_html(child))
+    parts.append(f"</{node.tag_name}>")
+    return "".join(parts)
+
+
+def serialize_document_to_html(doc: VDocument) -> str:
+    """parser.go:204-213."""
+    if doc is None or doc.document_element is None:
+        return ""
+    return "<!DOCTYPE html>\n" + serialize_to_html(doc.document_element)

@@ -1,0 +1,65 @@
+"""Document preprocessing: unwanted-tag removal and ad removal.
+
+Ports /root/reference/preprocess.go:66-155. Runs before scoring; both passes
+snapshot the element list first and then splice children in place, so nested
+matches are removed from already-detached parents harmlessly (order-
+insensitive result, SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+from .dom import get_elements_by_tag_name
+from .regexps import AD_PATTERNS, TAGS_TO_REMOVE
+from .vdom import VDocument, VElement
+
+__all__ = ["preprocess_document", "is_likely_ad"]
+
+
+def _detach(element: VElement) -> None:
+    parent = element.parent
+    if parent is None:
+        return
+    for i, child in enumerate(parent.children):
+        if child is element:
+            del parent.children[i]
+            break
+
+
+def preprocess_document(doc: VDocument) -> VDocument:
+    """preprocess.go:66-74."""
+    _remove_unwanted_tags(doc)
+    _remove_ads(doc)
+    return doc
+
+
+def _remove_unwanted_tags(doc: VDocument) -> None:
+    """Delete aside/nav/header/footer/script/style/... (preprocess.go:82-98).
+
+    audio/video/figure/canvas/details are deliberately kept
+    (preprocess.go:29-34).
+    """
+    for tag_name in TAGS_TO_REMOVE:
+        for element in get_elements_by_tag_name(doc.document_element, tag_name):
+            _detach(element)
+
+
+def _remove_ads(doc: VDocument) -> None:
+    """Delete likely-ad elements under body (preprocess.go:106-122)."""
+    for element in get_elements_by_tag_name(doc.body, "*"):
+        if element.parent is not None and is_likely_ad(element):
+            _detach(element)
+
+
+def is_likely_ad(element: VElement) -> bool:
+    """16 case-insensitive class/id regexes + ad attributes
+    (preprocess.go:133-155)."""
+    combined = element.class_name + " " + element.id
+    for pattern in AD_PATTERNS:
+        if pattern.search(combined):
+            return True
+    return (
+        element.get_attribute("role") == "advertisement"
+        or element.has_attribute("data-ad")
+        or element.has_attribute("data-ad-client")
+        or element.has_attribute("data-ad-slot")
+    )

@@ -1,0 +1,161 @@
+"""End-to-end extraction tests: the reference's TestExtract cases
+(core_test.go:740-880) plus the fixture-001 golden
+(site_extraction_test.go:94-155)."""
+
+import pathlib
+
+import pytest
+
+from go_readability_spark.readability import (
+    PAGE_TYPE_ARTICLE,
+    PAGE_TYPE_OTHER,
+    ReadabilityOptions,
+    extract,
+    extract_content,
+    find_structural_elements,
+    parse_html,
+    preprocess_document,
+    to_html,
+)
+
+FIXTURE_001 = pathlib.Path("/root/reference/testdata/fixtures/001/source.html")
+
+
+def test_extract_simple_article():
+    """core_test.go:748-806 'simple article' — exact expectations."""
+    html = """<!DOCTYPE html>
+<html>
+<head>
+  <title>Test Article</title>
+  <meta name="author" content="Test Author">
+</head>
+<body>
+  <article>
+    <h1>Article Heading</h1>
+    <p>This is a test article with enough content to be considered an article.
+    It has multiple sentences and paragraphs to ensure it passes the content threshold.
+    Lorem ipsum dolor sit amet, consectetur adipiscing elit. Sed do eiusmod tempor
+    incididunt ut labore et dolore magna aliqua. Ut enim ad minim veniam, quis nostrud
+    exercitation ullamco laboris nisi ut aliquip ex ea commodo consequat.</p>
+    <p>Second paragraph with more content to ensure it's long enough.
+    Duis aute irure dolor in reprehenderit in voluptate velit esse cillum dolore eu fugiat nulla pariatur.
+    Excepteur sint occaecat cupidatat non proident, sunt in culpa qui officia deserunt mollit anim id est laborum.</p>
+  </article>
+</body>
+</html>"""
+    result = extract(html, ReadabilityOptions(char_threshold=500, nb_top_candidates=5))
+    assert result.title == "Test Article"
+    assert result.byline == "Test Author"
+    assert result.page_type == PAGE_TYPE_ARTICLE
+    assert result.root is not None
+    assert result.root.tag_name == "article"
+    assert result.node_count > 0
+
+
+def test_extract_forced_other():
+    """core_test.go:812-867 'non-article page'."""
+    html = """<!DOCTYPE html>
+<html>
+<head>
+  <title>Index Page</title>
+</head>
+<body>
+  <div class="navigation">
+    <ul>
+      <li><a href="#">Link 1</a></li>
+      <li><a href="#">Link 2</a></li>
+      <li><a href="#">Link 3</a></li>
+    </ul>
+  </div>
+  <div class="items">
+    <div class="item">
+      <h2><a href="#">Item 1</a></h2>
+      <p>Short description</p>
+    </div>
+    <div class="item">
+      <h2><a href="#">Item 2</a></h2>
+      <p>Short description</p>
+    </div>
+    <div class="item">
+      <h2><a href="#">Item 3</a></h2>
+      <p>Short description</p>
+    </div>
+  </div>
+</body>
+</html>"""
+    result = extract(html, ReadabilityOptions(forced_page_type=PAGE_TYPE_OTHER))
+    assert result.title == "Index Page"
+    assert result.page_type == PAGE_TYPE_OTHER
+    assert result.root is None
+    assert result.node_count == 0
+
+
+def test_extract_default_forces_article_page_type():
+    """Quirk: Extract defaults ForcedPageType to 'article'
+    (core.go:46-47), so even junk pages report page_type='article'."""
+    result = extract("<html><body><p>tiny</p></body></html>", ReadabilityOptions())
+    assert result.page_type == PAGE_TYPE_ARTICLE
+    assert result.root is None  # gate failed
+
+
+def test_structural_fallback_when_gate_fails():
+    """core.go:116-118: article page without enough content gets
+    header/footer/significant nodes."""
+    html = (
+        "<html><body>"
+        '<div id="header">site header</div>'
+        '<main><p>Too short to pass the five hundred byte gate.</p></main>'
+        '<div class="site-footer">footer text</div>'
+        "</body></html>"
+    )
+    result = extract(html, ReadabilityOptions())
+    assert result.root is None
+    assert result.header is not None and result.header.id == "header"
+    assert result.footer is not None
+    assert any(n.tag_name == "main" for n in result.other_significant_nodes)
+
+
+def test_find_structural_elements_single_header_tag():
+    # note: call on a NON-preprocessed doc (header would be removed)
+    d = parse_html(
+        "<html><body><header>h</header><article>a</article>"
+        "<footer>f</footer></body></html>"
+    )
+    header, footer, nodes = find_structural_elements(d)
+    assert header is not None and header.tag_name == "header"
+    assert footer is not None and footer.tag_name == "footer"
+
+
+def test_fixture_001_golden_metadata():
+    """site_extraction_test.go:94-155; expected-metadata.json.
+
+    byline: the reference itself extracts "" here (itemprop markup is not
+    parsed; mismatch vs the Mozilla golden is warning-only,
+    site_extraction_test.go:141-149).
+    """
+    html = FIXTURE_001.read_text(encoding="utf-8")
+    result = extract(html, ReadabilityOptions())
+    assert result.title == "Get your Frontend JavaScript Code Covered | Code"
+    assert result.byline == ""
+    assert result.page_type == PAGE_TYPE_ARTICLE
+    assert result.root is not None
+    assert result.root.tag_name == "article"
+    # the reference's E2E content check (site_extraction_test.go:126-128)
+    assert "<section>" in to_html(result.root)
+
+
+def test_fixture_001_classification_path():
+    """With forced_page_type='' the classifier also says article."""
+    html = FIXTURE_001.read_text(encoding="utf-8")
+    d = parse_html(html)
+    preprocess_document(d)
+    result = extract_content(d, ReadabilityOptions(forced_page_type=""))
+    assert result.page_type == PAGE_TYPE_ARTICLE
+
+
+def test_extract_empty_and_tiny_docs():
+    """syn-edge cases: never crash."""
+    for html in ("", "<html></html>", "<p>x</p>", "no tags at all",
+                 "<body></body>", "<html><body></body></html>"):
+        result = extract(html, ReadabilityOptions())
+        assert result.page_type in (PAGE_TYPE_ARTICLE, PAGE_TYPE_OTHER)

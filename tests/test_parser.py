@@ -1,0 +1,182 @@
+"""Parser tests modeled on /root/reference/internal/parser/parser_test.go
+plus the HTML5-lite behaviors the extraction semantics depend on."""
+
+from go_readability_spark.readability import (
+    VElement,
+    VText,
+    get_elements_by_tag_name,
+    get_inner_text,
+    parse_html,
+    serialize_document_to_html,
+    serialize_to_html,
+)
+
+
+def test_basic_structure():
+    d = parse_html("<html><head><title>T</title></head><body><p>hi</p></body></html>")
+    assert d.document_element.tag_name == "html"
+    assert d.body.tag_name == "body"
+    ps = get_elements_by_tag_name(d.body, "p")
+    assert len(ps) == 1
+    assert get_inner_text(ps[0]) == "hi"
+
+
+def test_tags_lowercased():
+    d = parse_html("<BODY><DIV CLASS='x'>t</DIV></BODY>")
+    divs = get_elements_by_tag_name(d.body, "div")
+    assert len(divs) == 1
+    assert divs[0].class_name == "x"
+
+
+def test_body_synthesized_for_fragment():
+    d = parse_html("<div>fragment content</div>")
+    assert d.body is not None
+    assert len(get_elements_by_tag_name(d.body, "div")) == 1
+
+
+def test_html_attributes_dropped():
+    """parser.go:47 creates a fresh html element without attributes."""
+    d = parse_html('<html lang="en"><body>x</body></html>')
+    assert d.document_element.attributes == {}
+
+
+def test_comments_and_doctype_dropped():
+    d = parse_html(
+        "<!DOCTYPE html><!-- top --><html><body><!--[if lt IE 7]>"
+        "<p class='chromeframe'>old</p><![endif]--><p>keep</p></body></html>"
+    )
+    ps = get_elements_by_tag_name(d.body, "p")
+    assert len(ps) == 1
+    assert get_inner_text(ps[0]) == "keep"
+
+
+def test_p_auto_closed_by_block():
+    d = parse_html("<body><p>one<div>two</div></body>")
+    ps = get_elements_by_tag_name(d.body, "p")
+    divs = get_elements_by_tag_name(d.body, "div")
+    assert len(ps) == 1 and len(divs) == 1
+    # div is a sibling of p, not a child
+    assert divs[0].parent is d.body
+    assert get_inner_text(ps[0]) == "one"
+
+
+def test_li_auto_closed():
+    d = parse_html("<body><ul><li>a<li>b<li>c</ul></body>")
+    lis = get_elements_by_tag_name(d.body, "li")
+    assert [get_inner_text(li) for li in lis] == ["a", "b", "c"]
+    assert all(li.parent.tag_name == "ul" for li in lis)
+
+
+def test_void_elements_take_no_children():
+    d = parse_html("<body><p>a<br>b<img src='x'>c</p></body>")
+    p = get_elements_by_tag_name(d.body, "p")[0]
+    br = get_elements_by_tag_name(p, "br")[0]
+    img = get_elements_by_tag_name(p, "img")[0]
+    assert br.children == [] and img.children == []
+    assert get_inner_text(p, True) == "a b c"
+
+
+def test_entities_decoded_in_text():
+    d = parse_html("<body><p>a &amp; b &#65; &lt;x&gt;</p></body>")
+    p = get_elements_by_tag_name(d.body, "p")[0]
+    assert get_inner_text(p) == "a & b A <x>"
+
+
+def test_script_style_raw_text():
+    d = parse_html(
+        "<html><head><script>if (a < b && c > d) {}</script>"
+        "<style>p > a { color: red }</style></head><body>x</body></html>"
+    )
+    scripts = get_elements_by_tag_name(d.document_element, "script")
+    assert len(scripts) == 1
+    assert "a < b && c > d" in get_inner_text(scripts[0], False)
+    # style/script content never leaks into body
+    assert get_inner_text(d.body, True) == "x"
+
+
+def test_head_elements_stay_in_head():
+    d = parse_html(
+        "<html><head><title>T</title><meta name='a' content='b'>"
+        "<link rel='x'></head><body><p>body text</p></body></html>"
+    )
+    titles = get_elements_by_tag_name(d.document_element, "title")
+    metas = get_elements_by_tag_name(d.document_element, "meta")
+    assert len(titles) == 1 and len(metas) == 1
+    assert get_inner_text(d.body, True) == "body text"
+
+
+def test_implicit_head_and_body():
+    d = parse_html("<title>T</title><p>content</p>")
+    assert len(get_elements_by_tag_name(d.document_element, "title")) == 1
+    assert len(get_elements_by_tag_name(d.body, "p")) == 1
+
+
+def test_pre_leading_newline_stripped():
+    d = parse_html("<body><pre>\ncode here</pre></body>")
+    pre = get_elements_by_tag_name(d.body, "pre")[0]
+    assert isinstance(pre.children[0], VText)
+    assert pre.children[0].text_content == "code here"
+
+
+def test_unmatched_end_tag_ignored():
+    d = parse_html("<body><div>a</span>b</div></body>")
+    div = get_elements_by_tag_name(d.body, "div")[0]
+    assert get_inner_text(div, True) == "ab"
+
+
+def test_duplicate_attributes_first_wins():
+    d = parse_html('<body><div class="first" class="second">x</div></body>')
+    div = get_elements_by_tag_name(d.body, "div")[0]
+    assert div.class_name == "first"
+
+
+def test_valueless_attribute_empty_string():
+    d = parse_html("<body><div hidden>x</div></body>")
+    div = get_elements_by_tag_name(d.body, "div")[0]
+    assert div.has_attribute("hidden")
+    assert div.get_attribute("hidden") == ""
+
+
+def test_x_media_placeholder_is_void():
+    """Span-codec placeholder must never swallow siblings."""
+    d = parse_html(
+        '<body><p>before <x-media ref="media://abc" alt="cap"/> after</p></body>'
+    )
+    p = get_elements_by_tag_name(d.body, "p")[0]
+    xm = get_elements_by_tag_name(p, "x-media")[0]
+    assert xm.children == []
+    assert xm.get_attribute("ref") == "media://abc"
+    assert get_inner_text(p, True) == "before after"
+    # also without the explicit slash
+    d2 = parse_html('<body><p>a <x-media ref="m"> b</p></body>')
+    xm2 = get_elements_by_tag_name(d2.body, "x-media")[0]
+    assert xm2.children == []
+
+
+def test_serialize_sorted_attributes():
+    e = VElement("div")
+    e.set_attribute("zeta", "1")
+    e.set_attribute("alpha", "2")
+    e.append_child(VText("t"))
+    assert serialize_to_html(e) == '<div alpha="2" zeta="1">t</div>'
+
+
+def test_serialize_round_trip():
+    """parser_test.go:214 TestRoundTrip — parse(serialize(parse(x)))
+    is stable."""
+    html = (
+        "<html><head><title>T</title></head><body>"
+        '<div id="main"><p>Hello <b>world</b></p><img src="x"/></div>'
+        "</body></html>"
+    )
+    d1 = parse_html(html)
+    s1 = serialize_document_to_html(d1)
+    d2 = parse_html(s1)
+    s2 = serialize_document_to_html(d2)
+    assert s1 == s2
+
+
+def test_whitespace_preserved_in_body_text():
+    d = parse_html("<body><p>a\n    b</p></body>")
+    p = get_elements_by_tag_name(d.body, "p")[0]
+    assert p.children[0].text_content == "a\n    b"
