@@ -335,6 +335,31 @@ def generate_doc(doc_id: str, seed: int = 42) -> list[dict]:
     return _shuffle_offsets(spans, rng)
 
 
+def corpus_doc_ids(
+    n_docs: int,
+    include_fixture: bool = True,
+    giant_every: int = 0,
+) -> list[str]:
+    """The deterministic doc_id sequence of a corpus of ``n_docs`` rows.
+
+    Ids are cheap; spans are a pure function of the id (``generate_doc``),
+    so a distributed corpus build parallelizes the ids and generates spans
+    executor-side (sources/tables.py).
+    """
+    ids: list[str] = []
+    names = list(POPULATIONS)
+    if include_fixture and os.path.exists(FIXTURE_001_PATH) and n_docs > 0:
+        ids.append("fixture-001")
+    i = 0
+    while len(ids) < n_docs:
+        if giant_every and i and i % giant_every == 0:
+            ids.append(f"syn-giant-{i:06d}")
+        else:
+            ids.append(f"{names[i % len(names)]}-{i:06d}")
+        i += 1
+    return ids
+
+
 def generate_corpus(
     n_docs: int,
     seed: int = 42,
@@ -346,17 +371,5 @@ def generate_corpus(
     ``giant_every=k`` inserts one syn-giant doc per k ordinary docs
     (bench-only skew). Deterministic for a given (n_docs, seed, flags).
     """
-    names = list(POPULATIONS)
-    emitted = 0
-    if include_fixture and os.path.exists(FIXTURE_001_PATH) and n_docs > 0:
-        yield "fixture-001", generate_doc("fixture-001", seed)
-        emitted += 1
-    i = 0
-    while emitted < n_docs:
-        if giant_every and i and i % giant_every == 0:
-            doc_id = f"syn-giant-{i:06d}"
-        else:
-            doc_id = f"{names[i % len(names)]}-{i:06d}"
+    for doc_id in corpus_doc_ids(n_docs, include_fixture, giant_every):
         yield doc_id, generate_doc(doc_id, seed)
-        emitted += 1
-        i += 1

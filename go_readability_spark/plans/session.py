@@ -1,0 +1,52 @@
+"""SparkSession builder with the pipeline's tuned defaults.
+
+Local-mode mirror of the production `spark-submit --py-files` launch
+(SURVEY.md §3 Spark lifecycle). Every knob is set for the extraction
+workload: Arrow batches sized for documents (not rows of scalars), AQE on,
+shuffle partitions matched to core count at test scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark"]
+
+
+def get_spark(
+    app_name: str = "go-readability-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_max_records: int = 256,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    - ``arrow_max_records=256``: an Arrow batch of average (~10 KiB) docs is
+      a few MiB; giant docs are additionally isolated by skew_partitioned()
+      so a batch never aggregates many multi-MiB documents (SURVEY.md §4.2).
+    - AQE coalesces the small shuffles of metrics rollups; the extraction
+      stage itself is map-side only (no shuffle after the repartition).
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(arrow_max_records),
+        )
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,94 @@
+"""Skew handling: native doc-size pre-pass, size bucketing, salted spread.
+
+The north rule requires explicit handling of giant-document skew. Strategy
+(SURVEY.md §4.2):
+
+1. ``with_doc_bytes`` — compute per-doc byte size with **native Catalyst
+   expressions only** (``aggregate(transform(...))``), no Python, so the
+   pre-pass is whole-stage-codegen'd and costs one scan column.
+2. ``with_size_bucket`` — small / medium / giant buckets.
+3. ``skew_partitioned`` — giants are *split off* and hash-spread by an
+   explicit salt (``pmod(xxhash64(doc_id), N)``) so that no partition — and
+   therefore no Arrow batch — aggregates many multi-MiB documents, while
+   ordinary docs are uniformly salted across the target partition count.
+   At 1000 executors the same code holds: partition counts derive from the
+   cluster's parallelism, never from data-dependent collect()s.
+
+Docs above ``MAX_DOC_BYTES`` are not parsed at all — the extraction UDF
+emits an error row (never kills the job; the count surfaces in metrics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "GIANT_DOC_BYTES",
+    "MAX_DOC_BYTES",
+    "with_doc_bytes",
+    "with_size_bucket",
+    "skew_partitioned",
+]
+
+# >1 MiB of source HTML = "giant": isolated into its own salt-space
+GIANT_DOC_BYTES = 1 * 1024 * 1024
+# per-doc hard cutoff: above this the UDF emits an error row without parsing
+MAX_DOC_BYTES = 64 * 1024 * 1024
+
+_DOC_BYTES_EXPR = (
+    "aggregate(transform(filter({col}, s -> s.kind = 'text'), "
+    "s -> coalesce(octet_length(s.text), 0)), "
+    "0L, (acc, x) -> acc + x)"
+)
+
+
+def with_doc_bytes(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Add ``doc_bytes`` (sum of UTF-8 span text bytes) — pure Catalyst."""
+    if "doc_bytes" in df.columns:
+        return df
+    return df.withColumn(
+        "doc_bytes", F.expr(_DOC_BYTES_EXPR.format(col=spans_col))
+    )
+
+
+def with_size_bucket(
+    df: DataFrame,
+    small: int = 64 * 1024,
+    giant: int = GIANT_DOC_BYTES,
+) -> DataFrame:
+    """Add ``size_bucket`` 0=small, 1=medium, 2=giant from ``doc_bytes``."""
+    df = with_doc_bytes(df)
+    return df.withColumn(
+        "size_bucket",
+        F.when(F.col("doc_bytes") < small, F.lit(0))
+        .when(F.col("doc_bytes") < giant, F.lit(1))
+        .otherwise(F.lit(2)),
+    )
+
+
+def skew_partitioned(
+    df: DataFrame,
+    num_partitions: int,
+    giant_bytes: int = GIANT_DOC_BYTES,
+    salt_factor: int = 4,
+) -> DataFrame:
+    """Return df repartitioned so extraction tasks are size-balanced.
+
+    Ordinary docs: uniform salt over ``num_partitions * salt_factor`` values
+    (finer than the partition count so the hash-partitioner smooths residual
+    clumps). Giant docs: their own salt stripe — each lands with at most a
+    handful of peers, so one Arrow batch never holds many giants and a
+    straggler giant doesn't hide a thousand small docs behind it.
+    """
+    df = with_doc_bytes(df)
+    n_salts = max(num_partitions * salt_factor, 1)
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts))
+    # giants get a disjoint salt range (offset by n_salts) so they hash into
+    # partitions that predominantly contain other giants, one-ish per task
+    salted = df.withColumn(
+        "salt",
+        F.when(F.col("doc_bytes") >= giant_bytes, salt + F.lit(n_salts)).otherwise(
+            salt
+        ),
+    )
+    return salted.repartition(num_partitions, F.col("salt")).drop("salt")

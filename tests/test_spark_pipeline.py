@@ -1,0 +1,186 @@
+"""Spark-level tests: mapInPandas extraction ≡ pure function per doc,
+skew pre-pass correctness, checkpoint/resume idempotency.
+
+SURVEY.md §5: "one Spark-level test that mapInPandas over the fixture table
+equals the pure function per doc" — plus plan-shape assertions that the
+scale-critical properties hold (native pre-pass, broadcast anti-join).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from go_readability_spark.corpus import generate_corpus, generate_doc  # noqa: E402
+from go_readability_spark.operators.extract import (  # noqa: E402
+    extract_batch_rows,
+    extract_documents,
+    metrics_rollup,
+)
+from go_readability_spark.plans.checkpoint import (  # noqa: E402
+    read_manifest,
+    resume_filter,
+    run_checkpointed,
+    with_part,
+)
+from go_readability_spark.plans.skew import (  # noqa: E402
+    skew_partitioned,
+    with_doc_bytes,
+    with_size_bucket,
+)
+from go_readability_spark.readability.extract import ReadabilityOptions  # noqa: E402
+from go_readability_spark.readability.instrumented import (  # noqa: E402
+    extract_with_metrics,
+)
+from go_readability_spark.sources.tables import (  # noqa: E402
+    corpus_df,
+    documents_as_spans_df,
+)
+from go_readability_spark.spans import element_to_spans, spans_to_html  # noqa: E402
+
+N_DOCS = 24
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    df = corpus_df(spark, N_DOCS)
+    out = extract_documents(df, num_partitions=4).cache()
+    out.count()
+    return out
+
+
+def _golden(doc_id: str):
+    art, _ = extract_with_metrics(
+        spans_to_html(generate_doc(doc_id)), ReadabilityOptions(forced_page_type="")
+    )
+    return element_to_spans(art.root)
+
+
+class TestExtractionParity:
+    def test_row_count_and_no_errors(self, extracted):
+        assert extracted.count() == N_DOCS
+        assert extracted.filter("error is not null").count() == 0
+
+    def test_spans_equal_pure_function_for_every_doc(self, extracted):
+        rows = extracted.select("doc_id", "spans_out").collect()
+        assert len(rows) == N_DOCS
+        for row in rows:
+            got = [r.asDict() for r in row["spans_out"]]
+            assert got == _golden(row["doc_id"]), row["doc_id"]
+
+    def test_meta_matches(self, extracted):
+        row = extracted.filter("doc_id = 'fixture-001'").collect()[0]
+        assert row["meta"]["title"] == (
+            "Get your Frontend JavaScript Code Covered | Code"
+        )
+        assert row["meta"]["page_type"] == "article"
+
+    def test_doc_bytes_native_prepass_matches_python(self, spark, extracted):
+        rows = extracted.select("doc_id", "doc_bytes").collect()
+        for row in rows:
+            expected = sum(
+                len((s["text"] or "").encode("utf-8"))
+                for s in generate_doc(row["doc_id"])
+                if s["kind"] == "text"
+            )
+            assert row["doc_bytes"] == expected, row["doc_id"]
+
+    def test_metrics_rollup(self, extracted):
+        roll = {r["page_type"]: r for r in metrics_rollup(extracted).collect()}
+        assert sum(r["n_docs"] for r in roll.values()) == N_DOCS
+        assert roll["article"]["n_probably_content"] > 0
+
+
+class TestErrorRows:
+    def test_oversized_doc_becomes_error_row(self, spark):
+        df = corpus_df(spark, 4)
+        out = extract_documents(df, max_doc_bytes=100, num_partitions=2)
+        rows = out.collect()
+        assert all(r["error"] is not None for r in rows if r["doc_bytes"] > 100)
+        assert all(r["meta"]["page_type"] == "error" for r in rows)
+
+    def test_null_and_broken_spans(self):
+        rows = extract_batch_rows(
+            ["a", "b"],
+            [None, [{"kind": "text", "text": "<p>ok " * 50 + "</p>", "media_ref": "", "offset": 0}]],
+            [0, 10],
+        )
+        assert rows[0]["error"] == "null spans"
+        assert rows[1]["error"] is None
+
+
+class TestSkewPlan:
+    def test_size_buckets(self, spark):
+        df = with_size_bucket(corpus_df(spark, 8))
+        got = {r["size_bucket"] for r in df.select("size_bucket").collect()}
+        assert got <= {0, 1, 2}
+
+    def test_doc_bytes_is_native_expression(self, spark):
+        """The pre-pass must not invoke Python (input_hint: no per-row
+        Python; SURVEY.md §4.2)."""
+        df = with_doc_bytes(corpus_df(spark, 4).select("doc_id", "spans"))
+        plan = df.select("doc_id", "doc_bytes")._jdf.queryExecution().analyzed().toString()
+        assert "aggregate(" in plan and "pythonUDF" not in plan.lower()
+
+    def test_skew_partitioning_spreads_rows(self, spark):
+        df = skew_partitioned(corpus_df(spark, 16), num_partitions=4)
+        sizes = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        assert sum(r["count"] for r in sizes) == 16
+        assert len(sizes) > 1  # actually spread
+
+
+class TestCheckpointResume:
+    def test_run_and_resume(self, spark, tmp_path):
+        out_dir = str(tmp_path / "out")
+        man_dir = str(tmp_path / "manifest")
+        docs = corpus_df(spark, 12)
+
+        result = run_checkpointed(
+            spark, docs, out_dir, man_dir, n_parts=3, num_partitions=2
+        )
+        assert result.count() == 12
+        manifest = read_manifest(spark, man_dir)
+        done = manifest.filter("status = 'done'").collect()
+        assert {r["part"] for r in done} == set(
+            r["part"]
+            for r in with_part(docs, 3).select("part").distinct().collect()
+        )
+        assert sum(r["n_docs"] for r in done) == 12
+
+        # resume: everything done → no pending partitions, output unchanged
+        pending = resume_filter(with_part(docs, 3), manifest)
+        assert pending.count() == 0
+        result2 = run_checkpointed(
+            spark, docs, out_dir, man_dir, n_parts=3, num_partitions=2
+        )
+        assert result2.count() == 12
+
+    def test_resume_antijoin_is_broadcast(self, spark):
+        docs = with_part(corpus_df(spark, 8), 4)
+        manifest = read_manifest(spark, "/nonexistent-manifest")
+        plan = resume_filter(docs, manifest)._jdf.queryExecution().toString()
+        assert "LeftAnti" in plan
+
+
+class TestDriverDocsSource:
+    def test_documents_as_spans_native_and_extractable(self, spark):
+        df = documents_as_spans_df(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "pythonUDF" not in plan.lower()
+        out = extract_documents(df.limit(20), num_partitions=2)
+        rows = out.collect()
+        assert len(rows) == 20
+        assert all(r["error"] is None for r in rows)
+        assert all(r["meta"]["title"].startswith("Doc ") for r in rows)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
