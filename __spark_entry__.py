@@ -1,38 +1,57 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction over the sf0.001 documents table
+reshaped into the north-rule interleaved spans schema.
+``queries()`` / ``oracle_sql()`` — operator registry with DuckDB oracles
+(go_readability_spark/queries.py; formulas shared between engines via
+go_readability_spark/functions/*). Extraction-family queries are
+non-SQL-expressible (the readability algorithm) → rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from go_readability_spark.operators.extract import extract_documents
+    from go_readability_spark.readability.extract import ReadabilityOptions
+    from go_readability_spark.sources.tables import documents_as_spans_df
+
+    docs = documents_as_spans_df(spark, "/root/testdata/sf0.001")
+    # CharThreshold=150: the synthetic corpus averages ~250 chars/doc,
+    # well under the 500-byte web-article default gate
+    ext = extract_documents(
+        docs, options=ReadabilityOptions(char_threshold=150, forced_page_type="")
+    )
+    return ext.select(
+        "doc_id",
+        F.col("meta.page_type").alias("page_type"),
+        F.col("meta.title").alias("title"),
+        F.col("meta.node_count").alias("node_count"),
+        F.size("spans_out").alias("n_spans_out"),
+        F.col("doc_bytes").alias("doc_bytes"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 + the
+    training-data ops (dedup/similarity/text-analysis/multimodal)."""
+    from go_readability_spark.queries import queries as _queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query; extraction
+    queries are omitted (rows-only check)."""
+    from go_readability_spark.queries import oracle_sql as _oracle_sql
+
+    return _oracle_sql()

@@ -1,0 +1,126 @@
+"""Multimodal column handling: opaque media blobs with typed metadata.
+
+Media arrives as ``kind='media'`` spans (an opaque ``media_ref`` plus alt
+text). At 100 TB the blobs themselves live in object storage addressed by
+``media_ref``; the engine's job is the Spark-side plumbing — schema,
+batch shape, partitioning — with the actual codec behind a seam.
+
+The decode step is STUBBED (no image/audio libraries in this container):
+``decode_stub=True`` (default) produces a deterministic fake feature
+vector derived from the media_ref bytes — schema-true, reproducible, and
+cheap — while ``decode_stub=False`` raises NotImplementedError at the
+seam where a real decoder (PIL/ffmpeg on the executors) would plug in.
+Everything around the seam — mapInPandas over Arrow batches, the feature
+schema, media inventory — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["media_inventory", "media_features", "MEDIA_FEATURE_SCHEMA"]
+
+MEDIA_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("media_type", StringType()),
+        StructField("alt_text", StringType()),
+        StructField("content_hash", LongType()),
+        StructField("feature_dim", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def media_inventory(documents: DataFrame) -> DataFrame:
+    """Explode media spans: (doc_id, media_ref, alt_text, media_type, pos).
+
+    Pure Catalyst — the media type is parsed from the ref scheme
+    (``media://<type>/<hash>``)."""
+    media = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.col("spans"), lambda s: s["kind"] == "media")
+        ).alias("m"),
+    )
+    return media.select(
+        "doc_id",
+        F.col("m.media_ref").alias("media_ref"),
+        F.col("m.text").alias("alt_text"),
+        F.regexp_extract(F.col("m.media_ref"), r"^media://([^/]+)/", 1).alias(
+            "media_type"
+        ),
+        F.col("m.offset").alias("pos"),
+    )
+
+
+def _decode_features(media_ref: str, stub: bool) -> list[float]:
+    if not stub:
+        # The real decoder seam: fetch the blob for media_ref from object
+        # storage, decode (image resize / audio resample / video frame
+        # sample), run the featurizer. Not available in this container.
+        raise NotImplementedError(
+            "real media decoding requires image/audio libraries; "
+            "run with decode_stub=True"
+        )
+    digest = hashlib.md5((media_ref or "").encode("utf-8")).digest()
+    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def _feature_batches(stub: bool):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                feats = _decode_features(rec.media_ref, stub)
+                rows.append(
+                    {
+                        "doc_id": rec.doc_id,
+                        "media_ref": rec.media_ref,
+                        "media_type": rec.media_type,
+                        "alt_text": rec.alt_text,
+                        "content_hash": int.from_bytes(
+                            hashlib.md5(
+                                (rec.media_ref or "").encode()
+                            ).digest()[:8],
+                            "big",
+                            signed=True,
+                        ),
+                        "feature_dim": FEATURE_DIM,
+                        "features": feats,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields]
+            )
+
+    return run
+
+
+def media_features(
+    documents: DataFrame, decode_stub: bool = True, num_partitions: int | None = None
+) -> DataFrame:
+    """Media spans → per-media feature rows via Arrow-batched mapInPandas.
+
+    The inventory explode is native; only the decode runs in Python (the
+    shape real image/audio featurization would take)."""
+    inv = media_inventory(documents)
+    if num_partitions:
+        inv = inv.repartition(num_partitions, F.col("media_ref"))
+    return inv.mapInPandas(_feature_batches(decode_stub), MEDIA_FEATURE_SCHEMA)

@@ -1,0 +1,114 @@
+"""Relational operators around the extraction pipeline: windowed event
+rollups, sessionization, a pricing-summary aggregate, and the resume
+anti-join demonstrated on plain tables (the checkpoint machinery itself
+lives in plans/checkpoint.py).
+
+Double-typed measures are cast to decimal(18,2) before summing so
+aggregation order (Spark partition order vs DuckDB scan order) cannot
+change the result — exact arithmetic, exact oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = [
+    "events_hourly",
+    "sessionize",
+    "pricing_summary",
+    "resume_pending",
+]
+
+SESSION_GAP_MIN = 30
+
+
+def events_hourly(events: DataFrame) -> DataFrame:
+    """Per (hour, event_type): counts, exact value sum, distinct users,
+    and the sum of the JSON ``props.k`` field.
+
+    (hour_ts is epoch seconds — avoids cross-engine timestamp formatting.)
+    """
+    return (
+        events.withColumn("hour_ts", F.unix_timestamp(F.date_trunc("hour", "ts")))
+        .groupBy("hour_ts", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.get_json_object("props", "$.k").cast("bigint")
+            ).alias("k_sum"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Per-user sessionization by inactivity gap (window functions).
+
+    A new session starts when the gap to the previous event exceeds
+    ``gap_minutes``. Output: (user_id, n_sessions, n_events,
+    max_session_events)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = gap_minutes * 60
+    with_new = events.withColumn(
+        "new_session",
+        F.when(
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+            > gap_sec,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = with_new.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("session_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("session_events").alias("n_events"),
+        F.max("session_events").alias("max_session_events"),
+    )
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (group-agg over the fact table).
+
+    Exercises: scan + filter pushdown + partial aggregation. All money
+    math in decimal for exact cross-engine results."""
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum((price * (F.lit(1).cast("decimal(18,2)") - disc)).cast("decimal(28,4)")).alias("sum_disc_price"),
+            F.sum(
+                (price * (F.lit(1).cast("decimal(18,2)") - disc) * (F.lit(1).cast("decimal(18,2)") + tax)).cast("decimal(38,6)")
+            ).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def resume_pending(orders: DataFrame, mod: int = 7, done_below: int = 2) -> DataFrame:
+    """Broadcast anti-join resume demo on a plain table: treat orders with
+    ``o_orderkey % mod < done_below`` as checkpointed-done; return the
+    pending keys. Mirrors plans/checkpoint.resume_filter."""
+    done = orders.filter(
+        F.pmod(F.col("o_orderkey"), F.lit(mod)) < done_below
+    ).select("o_orderkey")
+    return (
+        orders.join(F.broadcast(done), "o_orderkey", "left_anti")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )

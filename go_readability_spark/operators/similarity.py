@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``ann_topk_bruteforce``: exact top-k by cosine — broadcast the query
+  vector, one codegen'd map pass, TakeOrdered (per-partition top-k +
+  driver merge; no full sort shuffle). The correct baseline and the
+  oracle-checked query.
+- ``ann_topk_lsh``: sign-random-projection LSH variant — hash every vector
+  to a bucket signature once (a map pass), probe only the query's bucket
+  (+ optional multi-probe hamming-1 neighbors). The 100 TB path: the probe
+  is a partition-prunable equi-filter instead of a full scan. Hyperplanes
+  are deterministic (seeded from plan-time constants), so results are
+  reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.vectors import cosine_similarity
+
+__all__ = ["ann_topk_bruteforce", "ann_topk_lsh", "lsh_bucket_col"]
+
+
+def _query_vec(embeddings: DataFrame, query_id: int, id_col: str, vec_col: str):
+    return F.broadcast(
+        embeddings.filter(F.col(id_col) == query_id).select(
+            F.col(vec_col).alias("qv")
+        )
+    )
+
+
+def ann_topk_bruteforce(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors of ``query_id`` (excluded itself)."""
+    qv = _query_vec(embeddings, query_id, id_col, vec_col)
+    return (
+        embeddings.crossJoin(qv)
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("qv")), 6
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: str = "gr-spark-lsh"):
+    """Deterministic pseudo-random hyperplanes in [-1, 1), plan-time."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            row.append((int(h[:8], 16) % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_col(vec_col, n_planes: int, dim: int):
+    """Sign-projection bucket id (0..2^n_planes-1) for an embedding col."""
+    planes = _hyperplanes(n_planes, dim)
+    bucket = F.lit(0)
+    for p, row in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(w) for w in row]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: restrict the scan to the query's LSH bucket
+    (plus hamming-1 buckets when ``multiprobe``), then exact cosine."""
+    bucketed = embeddings.withColumn(
+        "bucket", lsh_bucket_col(F.col(vec_col), n_planes, dim)
+    )
+    qrow = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    joined = bucketed.crossJoin(F.broadcast(qrow)).filter(
+        F.col(id_col) != query_id
+    )
+    if multiprobe:
+        probes = [F.col("bucket") == F.col("qbucket")] + [
+            F.col("bucket")
+            == F.expr(f"cast(qbucket as int) ^ {1 << p}")
+            for p in range(n_planes)
+        ]
+        cond = probes[0]
+        for c in probes[1:]:
+            cond = cond | c
+        joined = joined.filter(cond)
+    else:
+        joined = joined.filter(F.col("bucket") == F.col("qbucket"))
+    return (
+        joined.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("qv")), 6
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -1,0 +1,639 @@
+"""Query registry: every operator exposed as (Spark callable, DuckDB oracle).
+
+This is the correctness surface the driver exercises (README contract):
+``queries()[name](spark, sf_dir)`` runs the Spark plan; ``oracle_sql()[name]``
+is the equivalent ANSI SQL DuckDB runs over the same parquet views
+(``documents``, ``embeddings``, ``events``, ``orders``, ``lineitem``...).
+Formulas/constants are imported from functions/*, so the two sides cannot
+drift. Non-SQL-expressible extraction queries (the readability UDF itself)
+have no oracle — the driver records a rows-only check (FIXTURES.md §4).
+
+Column names are aliased identically on both sides; double outputs are
+rounded at 6 digits after exact (integer/decimal) arithmetic; sums are
+cast to fixed types so engine-internal widening (DuckDB HUGEINT, Spark
+decimal growth) never shows in the schema.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions.hashing import (
+    HASH_P,
+    band_hash_sql,
+    md5_prefix_hash_sql,
+    minhash_signature_sql,
+)
+from .functions.text import (
+    BPE_TOKEN_RE,
+    bpe_token_count_sql,
+    norm_fingerprint_sql,
+    rolling_hash_sql,
+    shingles_sql,
+    tokens_sql,
+    ws_token_count_sql,
+)
+from .functions.vectors import cosine_similarity_sql
+from .operators.dedup import (
+    dedup_exact,
+    embedding_near_dups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from .operators.extract import extract_documents, metrics_rollup
+from .operators.multimodal import media_features, media_inventory
+from .operators.relational import (
+    events_hourly,
+    pricing_summary,
+    resume_pending,
+    sessionize,
+)
+from .operators.similarity import ann_topk_bruteforce, ann_topk_lsh
+from .operators.textops import (
+    LANG_MARKERS,
+    PUNCT_RE,
+    STOPWORDS,
+    fingerprints,
+    language_id,
+    text_profile,
+)
+from .sources.tables import corpus_df, documents_as_spans_df, load_table
+
+__all__ = ["QUERIES", "ORACLES", "queries", "oracle_sql"]
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# --------------------------------------------------------------------------
+# parameters shared by Spark queries and their oracles
+# --------------------------------------------------------------------------
+CHUNK = 2048
+MEDIA_EVERY = 3
+NGRAM_N = 3
+JACCARD_T = 0.2
+MINHASH_K = 16
+MINHASH_BANDS = 8
+SIMHASH_BITS = 16
+EMB_NEAR_T = 0.3
+EMB_BLOCK = 300
+ANN_QUERY_ID = 0
+ANN_K = 10
+CORPUS_DOCS = 200
+
+# SQL fragment rebuilding the native html construction of
+# sources.tables.documents_as_spans_df (same concat, same replace)
+_HTML_SQL = (
+    "'<html><head><title>Doc ' || doc_id::varchar || "
+    "'</title></head><body><article><h1>Doc ' || doc_id::varchar || "
+    "'</h1><p>' || replace(text, chr(10), '</p><p>') || "
+    "'</p></article></body></html>'"
+)
+
+
+def _spans_cte() -> str:
+    """CTE rebuilding the documents_as_spans table in DuckDB."""
+    return f"""
+with h as (select doc_id::varchar doc_id, {_HTML_SQL} html,
+           (doc_id % {MEDIA_EVERY} = 0) has_media from documents),
+spans as (
+  select doc_id, html,
+    list_concat(
+      list_transform(range(0, cast(ceil(length(html) / {CHUNK}.0) as int)),
+        i -> struct_pack(kind := 'text',
+                         text := substr(html, i * {CHUNK} + 1, {CHUNK}),
+                         media_ref := '',
+                         "offset" := i::int)),
+      case when has_media then
+        [struct_pack(kind := 'media',
+                     text := 'figure for doc ' || doc_id,
+                     media_ref := 'media://doc/' || doc_id,
+                     "offset" := cast(ceil(length(html) / {CHUNK}.0) as int))]
+      else [] end) spans
+  from h)
+"""
+
+
+# --------------------------------------------------------------------------
+# extraction-family queries (the readability UDF — no SQL oracle)
+# --------------------------------------------------------------------------
+
+def q_extract_driver_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the whole pipeline over the driver's documents table.
+
+    CharThreshold=150 (a ReadabilityOptions knob, options.go:21-33): the
+    driver corpus averages ~250 chars/doc, far below the web-article
+    default of 500, so the default gate would reject nearly everything."""
+    from .readability.extract import ReadabilityOptions
+
+    docs = documents_as_spans_df(spark, sf_dir, CHUNK, MEDIA_EVERY)
+    ext = extract_documents(
+        docs, options=ReadabilityOptions(char_threshold=150, forced_page_type="")
+    )
+    return ext.select(
+        "doc_id",
+        F.col("meta.page_type").alias("page_type"),
+        F.col("meta.title").alias("title"),
+        F.col("meta.node_count").alias("node_count"),
+        F.size("spans_out").alias("n_spans_out"),
+        F.col("doc_bytes").alias("doc_bytes"),
+        F.col("error").alias("error"),
+    )
+
+
+def q_extract_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction over the synthetic interleaved corpus (all populations)."""
+    ext = extract_documents(corpus_df(spark, CORPUS_DOCS))
+    return ext.select(
+        "doc_id",
+        F.col("meta.page_type").alias("page_type"),
+        F.col("meta.title").alias("title"),
+        F.col("meta.byline").alias("byline"),
+        F.col("meta.node_count").alias("node_count"),
+        F.size("spans_out").alias("n_spans_out"),
+        F.col("metrics.candidate_count").alias("candidate_count"),
+        F.round("metrics.top_score", 4).alias("top_score"),
+    )
+
+
+def q_extract_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The golden invariant surface: exploded output span sequences."""
+    ext = extract_documents(corpus_df(spark, CORPUS_DOCS))
+    return ext.select(
+        "doc_id", F.explode("spans_out").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.order").alias("span_order"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.length("s.text").alias("text_len"),
+        F.md5(F.coalesce(F.col("s.text"), F.lit(""))).alias("text_md5"),
+    )
+
+
+def q_extract_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext = extract_documents(corpus_df(spark, CORPUS_DOCS))
+    roll = metrics_rollup(ext)
+    return roll.select(
+        "page_type",
+        "n_docs",
+        "n_errors",
+        "total_bytes",
+        F.round("avg_candidates", 4).alias("avg_candidates"),
+        F.round("avg_prune_ratio", 4).alias("avg_prune_ratio"),
+        "n_probably_content",
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: stub feature extraction over corpus media."""
+    docs = corpus_df(spark, CORPUS_DOCS)
+    feats = media_features(docs, decode_stub=True)
+    return feats.select(
+        "doc_id",
+        "media_ref",
+        "media_type",
+        "content_hash",
+        "feature_dim",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN (bucket-pruned scan) — approximate, rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(emb, ANN_QUERY_ID, ANN_K)
+
+
+# --------------------------------------------------------------------------
+# span-plumbing queries (SQL-expressible — full oracles)
+# --------------------------------------------------------------------------
+
+def q_span_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reassembly invariant: scrambled spans sorted by offset rebuild the
+    document exactly. Native Catalyst end to end."""
+    docs = documents_as_spans_df(spark, sf_dir, CHUNK, MEDIA_EVERY)
+    scrambled = docs.select(
+        "doc_id", F.reverse(F.col("spans")).alias("spans")
+    )
+    sorted_spans = F.array_sort(
+        F.col("spans"),
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
+    reassembled = F.concat_ws(
+        "",
+        F.transform(
+            sorted_spans,
+            lambda s: F.when(s["kind"] == "media", F.lit("")).otherwise(
+                s["text"]
+            ),
+        ),
+    )
+    return scrambled.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.length(reassembled).alias("reassembled_len"),
+        F.md5(reassembled).alias("reassembled_md5"),
+    )
+
+
+ORACLE_SPAN_REASSEMBLY = (
+    _spans_cte()
+    + f"""
+select doc_id, len(spans)::int n_spans,
+  length(html)::int reassembled_len,
+  md5(html) reassembled_md5
+from spans
+"""
+)
+
+
+def q_doc_bytes_prepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native skew pre-pass: doc_bytes + size bucket, no Python."""
+    from .plans.skew import with_size_bucket
+
+    docs = documents_as_spans_df(spark, sf_dir, CHUNK, MEDIA_EVERY)
+    return with_size_bucket(docs).select(
+        "doc_id", F.size("spans").alias("n_spans"), "doc_bytes", "size_bucket"
+    )
+
+
+ORACLE_DOC_BYTES = (
+    _spans_cte()
+    + """
+select doc_id, len(spans)::int n_spans,
+  strlen(html)::bigint doc_bytes,
+  (case when strlen(html) < 65536 then 0
+        when strlen(html) < 1048576 then 1 else 2 end)::int size_bucket
+from spans
+"""
+)
+
+
+def q_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = documents_as_spans_df(spark, sf_dir, CHUNK, MEDIA_EVERY)
+    return media_inventory(docs).select(
+        "doc_id", "media_ref", "alt_text", "media_type"
+    )
+
+
+ORACLE_MEDIA_INVENTORY = f"""
+select doc_id::varchar doc_id,
+  'media://doc/' || doc_id::varchar media_ref,
+  'figure for doc ' || doc_id::varchar alt_text,
+  'doc' media_type
+from documents where doc_id % {MEDIA_EVERY} = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup queries
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = f"""
+select {norm_fingerprint_sql('text')} text_hash,
+  min(doc_id)::bigint keeper_id, count(*)::bigint n_copies
+from documents group by 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), NGRAM_N, JACCARD_T
+    )
+
+
+ORACLE_NGRAM_JACCARD = f"""
+with toks as (select doc_id, {tokens_sql('text')} t from documents),
+sh as (select doc_id, {shingles_sql('t', NGRAM_N)} sh from toks),
+sizes as (select doc_id, len(sh) n_sh from sh),
+ex as (select doc_id, unnest(sh) shingle from sh),
+inter as (
+  select a.doc_id doc_a, b.doc_id doc_b, count(*) n_inter
+  from ex a join ex b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2)
+select doc_a::bigint doc_a, doc_b::bigint doc_b,
+  round(n_inter::double / (sa.n_sh + sb.n_sh - n_inter), 6) jaccard
+from inter
+join sizes sa on sa.doc_id = inter.doc_a
+join sizes sb on sb.doc_id = inter.doc_b
+where round(n_inter::double / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_T}
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"),
+        NGRAM_N,
+        MINHASH_K,
+        MINHASH_BANDS,
+    )
+
+
+def _oracle_minhash() -> str:
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    bucket_selects = "\n  union all ".join(
+        f"select doc_id, {band} band, {band_hash_sql('sig', band, rows_per_band)} bh from sig"
+        for band in range(MINHASH_BANDS)
+    )
+    return f"""
+with toks as (select doc_id, {tokens_sql('text')} t from documents),
+sh as (select doc_id, {shingles_sql('t', NGRAM_N)} sh from toks),
+sig as (select doc_id, {minhash_signature_sql('sh', MINHASH_K)} sig
+        from sh where len(sh) > 0),
+buckets as (
+  {bucket_selects}
+)
+select a.doc_id::bigint doc_a, b.doc_id::bigint doc_b,
+  count(*)::bigint n_bands_hit
+from buckets a join buckets b
+  on a.band = b.band and a.bh = b.bh and a.doc_id < b.doc_id
+group by 1, 2
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(
+        load_table(spark, sf_dir, "documents"), SIMHASH_BITS
+    )
+
+
+def _oracle_simhash() -> str:
+    h = md5_prefix_hash_sql("tok")
+    bit_sums = ", ".join(
+        f"sum(case when (h >> {i}) & 1 = 1 then 1 else -1 end)::bigint b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fingerprint = " + ".join(
+        f"(case when b{i} > 0 then {1 << i} else 0 end)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+with toks as (select doc_id, unnest({tokens_sql('text')}) tok from documents),
+hs as (select doc_id, {h} h from toks),
+bits as (select doc_id, {bit_sums} from hs group by doc_id)
+select doc_id::bigint doc_id, ({fingerprint})::bigint simhash from bits
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dups(
+        load_table(spark, sf_dir, "embeddings"), EMB_NEAR_T, EMB_BLOCK
+    )
+
+
+ORACLE_DEDUP_EMBEDDING = f"""
+with e as (select vec_id, embedding from embeddings where vec_id < {EMB_BLOCK})
+select a.vec_id::bigint vec_a, b.vec_id::bigint vec_b,
+  round({cosine_similarity_sql('a.embedding', 'b.embedding')}, 6) cos
+from e a join e b on a.vec_id < b.vec_id
+where round({cosine_similarity_sql('a.embedding', 'b.embedding')}, 6) >= {EMB_NEAR_T}
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_topk_bruteforce(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_ID, ANN_K
+    )
+
+
+ORACLE_ANN_TOPK = f"""
+with q as (select embedding qv from embeddings where vec_id = {ANN_QUERY_ID})
+select vec_id::bigint vec_id,
+  round({cosine_similarity_sql('embedding', 'qv')}, 6) cos
+from embeddings, q
+where vec_id != {ANN_QUERY_ID}
+order by cos desc, vec_id
+limit {ANN_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_profile(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_text_profile() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = tokens_sql("text")
+    return f"""
+with base as (
+  select doc_id,
+    length(text)::int n_chars,
+    ({ws_token_count_sql('text')})::int n_tokens,
+    ({bpe_token_count_sql('text')})::int n_bpe_tokens,
+    len(regexp_extract_all(text, '{PUNCT_RE}')) n_punct,
+    len(list_filter({toks}, t -> t in ({stop_list}))) n_stop
+  from documents),
+ratios as (
+  select doc_id, n_chars, n_tokens, n_bpe_tokens,
+    round(n_punct / greatest(n_chars, 1), 6) punct_ratio,
+    round(n_stop / greatest(n_tokens, 1), 6) stopword_ratio
+  from base)
+select doc_id::bigint doc_id, n_chars, n_tokens, n_bpe_tokens,
+  punct_ratio, stopword_ratio,
+  round(0.4 * least(n_tokens / 100.0, 1.0)
+      + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
+      + 0.3 * least(stopword_ratio * 5, 1.0), 6) quality
+from ratios
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_lang_id() -> str:
+    toks = tokens_sql("text")
+    score_cols = ", ".join(
+        "len(list_filter({t}, t -> t in ({ws}))) s_{lang}".format(
+            t=toks, ws=", ".join(f"'{w}'" for w in words), lang=lang
+        )
+        for lang, words in LANG_MARKERS
+    )
+    langs = [lang for lang, _ in LANG_MARKERS]
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    cases = " ".join(
+        f"when s_{lg} = {best} then '{lg}'" for lg in langs
+    )
+    return f"""
+with scores as (select doc_id, {score_cols} from documents)
+select doc_id::bigint doc_id,
+  case when {best} = 0 then 'und' {cases} else 'und' end lang_pred,
+  ({best})::int lang_hits
+from scores
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_FINGERPRINTS = f"""
+select doc_id::bigint doc_id, {norm_fingerprint_sql('text')} norm_md5,
+  {rolling_hash_sql('text')} rolling
+from documents
+"""
+
+
+# --------------------------------------------------------------------------
+# relational / events
+# --------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = events_hourly(load_table(spark, sf_dir, "events"))
+    return out.select(
+        "hour_ts",
+        "event_type",
+        "n_events",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        "n_users",
+        "k_sum",
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+select epoch(date_trunc('hour', ts))::bigint hour_ts, event_type,
+  count(*)::bigint n_events,
+  cast(sum(cast(value as decimal(18,2))) as double) value_sum,
+  count(distinct user_id)::bigint n_users,
+  sum(json_extract_string(props, '$.k')::bigint)::bigint k_sum
+from events group by 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_SESSIONIZE = """
+with e as (
+  select user_id, event_id, ts,
+    case when epoch(ts) - epoch(lag(ts) over
+      (partition by user_id order by ts, event_id)) > 1800
+      then 1 else 0 end new_session
+  from events),
+s as (
+  select user_id,
+    sum(new_session) over (partition by user_id order by ts, event_id
+      rows between unbounded preceding and current row) session_id
+  from e),
+per_session as (
+  select user_id, session_id, count(*) session_events
+  from s group by 1, 2)
+select user_id::bigint user_id, count(*)::bigint n_sessions,
+  sum(session_events)::bigint n_events,
+  max(session_events)::bigint max_session_events
+from per_session group by 1
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = pricing_summary(load_table(spark, sf_dir, "lineitem"))
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
+        F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
+        F.col("sum_charge").cast("double").alias("sum_charge"),
+        "count_order",
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+select l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity as decimal(18,2))) as double) sum_qty,
+  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) sum_base_price,
+  cast(sum(cast(cast(l_extendedprice as decimal(18,2))
+        * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+        as decimal(28,4))) as double) sum_disc_price,
+  cast(sum(cast(cast(l_extendedprice as decimal(18,2))
+        * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+        * (cast(1 as decimal(18,2)) + cast(l_tax as decimal(18,2)))
+        as decimal(38,6))) as double) sum_charge,
+  count(*)::bigint count_order
+from lineitem
+where l_shipdate <= timestamp '2024-09-01 00:00:00'
+group by l_returnflag, l_linestatus
+"""
+
+
+def q_resume_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resume_pending(load_table(spark, sf_dir, "orders"))
+
+
+ORACLE_RESUME_ANTIJOIN = """
+select o_orderkey::bigint o_orderkey, o_custkey::bigint o_custkey,
+  o_orderstatus
+from orders where o_orderkey % 7 >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    # extraction family (rows-only: the readability UDF has no SQL form)
+    "extract_driver_docs": q_extract_driver_docs,
+    "extract_corpus": q_extract_corpus,
+    "extract_spans_flat": q_extract_spans_flat,
+    "extract_metrics_rollup": q_extract_metrics_rollup,
+    "media_features": q_media_features,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    # oracle-checked
+    "span_reassembly": q_span_reassembly,
+    "doc_bytes_prepass": q_doc_bytes_prepass,
+    "media_inventory": q_media_inventory,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk": q_ann_topk,
+    "text_profile": q_text_profile,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "events_hourly": q_events_hourly,
+    "sessionize": q_sessionize,
+    "pricing_summary": q_pricing_summary,
+    "resume_antijoin": q_resume_antijoin,
+}
+
+ORACLES: dict[str, str] = {
+    "span_reassembly": ORACLE_SPAN_REASSEMBLY,
+    "doc_bytes_prepass": ORACLE_DOC_BYTES,
+    "media_inventory": ORACLE_MEDIA_INVENTORY,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_minhash_lsh": _oracle_minhash(),
+    "dedup_simhash": _oracle_simhash(),
+    "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "ann_topk": ORACLE_ANN_TOPK,
+    "text_profile": _oracle_text_profile(),
+    "lang_id": _oracle_lang_id(),
+    "fingerprints": ORACLE_FINGERPRINTS,
+    "events_hourly": ORACLE_EVENTS_HOURLY,
+    "sessionize": ORACLE_SESSIONIZE,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "resume_antijoin": ORACLE_RESUME_ANTIJOIN,
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)
