@@ -206,6 +206,23 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, ANN_QUERY_ID, ANN_K)
 
 
+def q_render_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLI-sink parity: clean-HTML / Markdown / text / metadata-JSON
+    renderings of each extracted article (cmd/readability main.go:52-79)."""
+    from .operators.render import render_documents
+
+    out = render_documents(corpus_df(spark, CORPUS_DOCS))
+    return out.select(
+        "doc_id",
+        F.length("html").alias("html_len"),
+        F.length("markdown").alias("markdown_len"),
+        F.length("text").alias("text_len"),
+        F.md5(F.coalesce(F.col("markdown"), F.lit(""))).alias("markdown_md5"),
+        "metadata_json",
+        "error",
+    )
+
+
 # --------------------------------------------------------------------------
 # span-plumbing queries (SQL-expressible — full oracles)
 # --------------------------------------------------------------------------
@@ -592,6 +609,7 @@ QUERIES: dict[str, QueryFn] = {
     "extract_metrics_rollup": q_extract_metrics_rollup,
     "media_features": q_media_features,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "render_formats": q_render_formats,
     # oracle-checked
     "span_reassembly": q_span_reassembly,
     "doc_bytes_prepass": q_doc_bytes_prepass,

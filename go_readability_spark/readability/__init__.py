@@ -5,6 +5,18 @@ mackee/go-readability (/root/reference, snapshot 2025-07-18), structured to
 run inside Arrow-batched Spark UDFs. Ship with ``--py-files``.
 """
 
+from .aria import (  # noqa: F401
+    AriaNode,
+    AriaTree,
+    aria_tree_to_string,
+    build_aria_node,
+    build_aria_tree,
+    compress_aria_tree,
+    count_aria_nodes,
+    get_accessible_name,
+    get_aria_node_type,
+    get_aria_role,
+)
 from .classify import (  # noqa: F401
     PAGE_TYPE_ARTICLE,
     PAGE_TYPE_OTHER,
@@ -40,6 +52,11 @@ from .fmt import (  # noqa: F401
     stringify,
     to_html,
 )
+from .instrumented import (  # noqa: F401
+    ExtractionMetrics,
+    extract_with_metrics,
+)
+from .markdown import escape_markdown, to_markdown  # noqa: F401
 from .metadata import (  # noqa: F401
     ReadabilityMetadata,
     get_article_byline,

@@ -77,6 +77,13 @@ SCOPE_BOUNDARIES = frozenset({
     "object", "marquee", "select",
 })
 
+# Per-tag additions to the boundary set: an <li> start tag closes an open
+# <li> only within "list item scope" (HTML5), i.e. the search must stop at
+# a nested <ul>/<ol> so inner lists don't close the outer item.
+SIBLING_SCOPE_EXTRA: dict[str, frozenset[str]] = {
+    "li": frozenset({"ul", "ol"}),
+}
+
 PRE_LIKE = frozenset({"pre", "textarea", "listing"})
 
 
@@ -131,12 +138,15 @@ class _TreeBuilder(HTMLParser):
                     break
         closers = SIBLING_CLOSERS.get(tag)
         if closers:
+            boundaries = SCOPE_BOUNDARIES | SIBLING_SCOPE_EXTRA.get(
+                tag, frozenset()
+            )
             for i in range(len(self.stack) - 1, 0, -1):
                 t = self.stack[i].tag_name
                 if t in closers:
                     del self.stack[i:]
                     break
-                if t in SCOPE_BOUNDARIES and t not in closers:
+                if t in boundaries and t not in closers:
                     break
 
     # -- tokenizer callbacks -------------------------------------------

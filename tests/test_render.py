@@ -1,0 +1,70 @@
+"""Render operator + CLI parity tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from go_readability_spark.corpus import generate_doc
+from go_readability_spark.operators.render import render_article
+from go_readability_spark.readability import extract
+from go_readability_spark.spans import spans_to_html
+
+
+class TestRenderArticle:
+    def test_formats_match_pure_sinks(self):
+        art = extract(spans_to_html(generate_doc("syn-article-000000")))
+        out = render_article(art)
+        assert out["html"].startswith("<")
+        assert "# Deep Dive 0" in out["markdown"]
+        assert "Deep Dive 0" in out["text"]
+        meta = json.loads(out["metadata_json"])
+        assert meta["pageType"] == "article"
+        assert meta["nodeCount"] == art.node_count
+
+    def test_empty_article(self):
+        art = extract("<html><body></body></html>")
+        out = render_article(art)
+        assert out["html"] == "" and out["markdown"] == ""
+
+
+class TestCli:
+    def test_metadata_and_formats(self, capsys, tmp_path):
+        from go_readability_spark.cli import main
+
+        path = tmp_path / "doc.html"
+        path.write_text(spans_to_html(generate_doc("syn-article-000003")))
+
+        assert main(["--metadata", str(path)]) == 0
+        meta = json.loads(capsys.readouterr().out)
+        assert meta["title"].startswith("Deep Dive 3")
+
+        assert main(["--format", "markdown", str(path)]) == 0
+        assert "# Deep Dive 3" in capsys.readouterr().out
+
+        assert main([str(path)]) == 0
+        assert "<h1>" in capsys.readouterr().out
+
+    def test_http_refused(self, capsys):
+        from go_readability_spark.cli import main
+
+        assert main(["http://example.com"]) == 2
+
+
+@pytest.mark.usefixtures("spark")
+class TestRenderSpark:
+    def test_render_documents(self, spark):
+        from go_readability_spark.operators.render import render_documents
+        from go_readability_spark.sources.tables import corpus_df
+
+        out = render_documents(corpus_df(spark, 10), num_partitions=2)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert len(rows) == 10
+        assert all(r["error"] is None for r in rows.values())
+        # spot-check one doc against the pure pipeline
+        doc_id = "syn-article-000000"
+        art = extract(spans_to_html(generate_doc(doc_id)))
+        got = rows[doc_id]
+        assert json.loads(got["metadata_json"])["nodeCount"] == art.node_count
+        assert got["markdown"] == render_article(art)["markdown"]
