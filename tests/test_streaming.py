@@ -1,0 +1,97 @@
+"""Structured Streaming tests: streaming extraction with checkpointed
+resume (exactly-once file processing) and the watermarked hourly rollup."""
+
+from __future__ import annotations
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from go_readability_spark.sources.tables import corpus_df  # noqa: E402
+from go_readability_spark.streaming import (  # noqa: E402
+    run_extract_stream,
+    stream_events_hourly,
+)
+
+
+class TestExtractStream:
+    def test_stream_extracts_and_resumes(self, spark, tmp_path):
+        inp = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        corpus_df(spark, 8).write.parquet(inp)
+        q = run_extract_stream(spark, inp, out, ckpt)
+        q.awaitTermination(120)
+        result = spark.read.parquet(out)
+        assert result.count() == 8
+        assert result.filter("error is not null").count() == 0
+
+        # restart with no new files: checkpoint prevents reprocessing
+        q = run_extract_stream(spark, inp, out, ckpt)
+        q.awaitTermination(120)
+        assert spark.read.parquet(out).count() == 8
+
+        # new files appended: only the delta is processed
+        extra = corpus_df(spark, 12).filter(
+            "doc_id like 'syn-meta%'"
+        )
+        n_extra = extra.count()
+        extra.write.mode("append").parquet(inp)
+        q = run_extract_stream(spark, inp, out, ckpt)
+        q.awaitTermination(120)
+        assert spark.read.parquet(out).count() == 8 + n_extra
+
+    def test_stream_matches_batch(self, spark, tmp_path):
+        from go_readability_spark.operators.extract import extract_documents
+
+        inp = str(tmp_path / "in2")
+        out = str(tmp_path / "out2")
+        corpus_df(spark, 6).write.parquet(inp)
+        q = run_extract_stream(spark, inp, out, str(tmp_path / "ck2"))
+        q.awaitTermination(120)
+
+        stream_rows = {
+            r["doc_id"]: [tuple(s) for s in r["spans_out"]]
+            for r in spark.read.parquet(out).collect()
+        }
+        batch_rows = {
+            r["doc_id"]: [tuple(s) for s in r["spans_out"]]
+            for r in extract_documents(
+                spark.read.parquet(inp), num_partitions=2
+            ).collect()
+        }
+        assert stream_rows == batch_rows
+
+
+class TestEventsWindowed:
+    def test_watermarked_hourly_rollup_matches_batch(self, spark, tmp_path):
+        # file-stream sources take a directory
+        events_dir = str(tmp_path / "events")
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(
+            events_dir
+        )
+        out = stream_events_hourly(spark, events_dir)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("hourly")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["hour_ts"], r["event_type"]): (r["n_events"], r["value_sum"])
+            for r in spark.sql("select * from hourly").collect()
+        }
+        from go_readability_spark.operators.relational import events_hourly
+
+        batch = {
+            (r["hour_ts"], r["event_type"]): (r["n_events"], float(r["value_sum"]))
+            for r in events_hourly(spark.read.parquet(events_dir)).collect()
+        }
+        # append-mode emits only windows the watermark has closed; every
+        # emitted window must match the batch rollup exactly
+        assert got
+        for key, val in got.items():
+            assert batch[key] == val
