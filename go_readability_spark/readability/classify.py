@@ -82,15 +82,18 @@ def classify_page_type(
 
     # 1. page-structure counters (classify.go:96-128)
     body = doc.body
-    heading_count = (
-        len(get_elements_by_tag_name(body, "h1"))
-        + len(get_elements_by_tag_name(body, "h2"))
-        + len(get_elements_by_tag_name(body, "h3"))
-    )
-    image_count = len(get_elements_by_tag_name(body, "img"))
-    link_count = len(get_elements_by_tag_name(body, "a"))
-    article_count = len(get_elements_by_tag_name(body, "article"))
-    list_item_count = len(get_elements_by_tag_name(body, "li"))
+    # one pre-order pass for all tag counters (same totals as per-tag
+    # scans at classify.go:96-128, ~7 tree walks saved per document)
+    counts = {"h1": 0, "h2": 0, "h3": 0, "img": 0, "a": 0, "article": 0, "li": 0}
+    for el in get_elements_by_tag_name(body, "*"):
+        tag = el.tag_name
+        if tag in counts:
+            counts[tag] += 1
+    heading_count = counts["h1"] + counts["h2"] + counts["h3"]
+    image_count = counts["img"]
+    link_count = counts["a"]
+    article_count = counts["article"]
+    list_item_count = counts["li"]
     card_count = 0
     for child in body.children:
         if isinstance(child, VElement):

@@ -38,19 +38,23 @@ def get_elements_by_tag_name(element: VElement, tag_name: str) -> list[VElement]
 def get_elements_by_tag_names(
     element: VElement, tag_names: list[str]
 ) -> list[VElement]:
-    tags = [t.lower() for t in tag_names]
-    star = "*" in tags
-    tagset = frozenset(tags)
+    # iterative pre-order (recursion overhead dominated profiles; result
+    # order identical to the recursive walk)
+    tagset = frozenset(t.lower() for t in tag_names)
+    star = "*" in tagset
     result: list[VElement] = []
-
-    def walk(el: VElement) -> None:
+    stack = [element]
+    pop = stack.pop
+    append = result.append
+    while stack:
+        el = pop()
         if star or el.tag_name in tagset:
-            result.append(el)
-        for child in el.children:
-            if isinstance(child, VElement):
-                walk(child)
-
-    walk(element)
+            append(el)
+        children = el.children
+        if children:
+            stack.extend(
+                c for c in reversed(children) if c.__class__ is VElement
+            )
     return result
 
 
@@ -93,6 +97,25 @@ def has_ancestor_tag(node: VNode, tag_name: str, max_depth: int = 0) -> bool:
     return False
 
 
+# Phase-local memo for get_inner_text. The scoring/classify/metadata
+# phases call it O(nodes·depth) times on an immutable tree (SURVEY.md
+# §4.1: safe to memoize within a phase — FindMainCandidates mutates only
+# ContentScore, never text). Enabled by extract_content after preprocess
+# (the last tree mutation) and cleared in a finally. Keys are id(node):
+# valid because the cached phase neither frees nor creates nodes.
+_inner_text_cache: dict | None = None
+
+
+def begin_inner_text_cache() -> None:
+    global _inner_text_cache
+    _inner_text_cache = {}
+
+
+def end_inner_text_cache() -> None:
+    global _inner_text_cache
+    _inner_text_cache = None
+
+
 def get_inner_text(node: VNode, normalize_spaces: bool = False) -> str:
     """Space-joined, trimmed descendant text (dom_utils.go:127-158).
 
@@ -104,6 +127,12 @@ def get_inner_text(node: VNode, normalize_spaces: bool = False) -> str:
     ``\\s{2,}``→" " collapse (ASCII \\s, RE2 parity) applies only at this
     level when ``normalize_spaces`` is True.
     """
+    cache = _inner_text_cache
+    if cache is not None:
+        key = (id(node), normalize_spaces)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
     if isinstance(node, VText):
         text = node.text_content
     else:
@@ -126,6 +155,8 @@ def get_inner_text(node: VNode, normalize_spaces: bool = False) -> str:
     text = text.strip()
     if normalize_spaces:
         text = NORMALIZE.sub(" ", text)
+    if cache is not None:
+        cache[key] = text
     return text
 
 

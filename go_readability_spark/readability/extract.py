@@ -110,33 +110,45 @@ def extract_content(
         else DEFAULT_N_TOP_CANDIDATES
     )
 
-    candidates = find_main_candidates(doc, nb_top_candidates)
-    top_candidate: Optional[VElement] = None
-    article_content: Optional[VElement] = None
+    # the tree is immutable during scoring/classify/metadata (only
+    # ContentScore mutates) — memoize get_inner_text for this read phase
+    from .dom import begin_inner_text_cache, end_inner_text_cache
 
-    if candidates:
-        top_candidate = candidates[0]
-        text_length = byte_len(get_inner_text(top_candidate, False))
-        link_density = get_link_density(top_candidate)
-        # accept gate (core.go:83-94)
-        if text_length >= char_threshold and link_density <= 0.5:
-            article_content = top_candidate
+    begin_inner_text_cache()
+    try:
+        candidates = find_main_candidates(doc, nb_top_candidates)
+        top_candidate: Optional[VElement] = None
+        article_content: Optional[VElement] = None
 
-    page_type = options.forced_page_type
-    if page_type == "":
-        if article_content is not None:
-            page_type = PAGE_TYPE_ARTICLE
-        else:
-            page_type = classify_page_type(doc, candidates, char_threshold, "")
+        if candidates:
+            top_candidate = candidates[0]
+            text_length = byte_len(get_inner_text(top_candidate, False))
+            link_density = get_link_density(top_candidate)
+            # accept gate (core.go:83-94)
+            if text_length >= char_threshold and link_density <= 0.5:
+                article_content = top_candidate
 
-    title = get_article_title(doc)
-    byline = get_article_byline(doc)
+        page_type = options.forced_page_type
+        if page_type == "":
+            if article_content is not None:
+                page_type = PAGE_TYPE_ARTICLE
+            else:
+                page_type = classify_page_type(
+                    doc, candidates, char_threshold, ""
+                )
 
-    header: Optional[VElement] = None
-    footer: Optional[VElement] = None
-    other_significant_nodes: list[VElement] = []
-    if page_type == PAGE_TYPE_ARTICLE and article_content is None:
-        header, footer, other_significant_nodes = find_structural_elements(doc)
+        title = get_article_title(doc)
+        byline = get_article_byline(doc)
+
+        header: Optional[VElement] = None
+        footer: Optional[VElement] = None
+        other_significant_nodes: list[VElement] = []
+        if page_type == PAGE_TYPE_ARTICLE and article_content is None:
+            header, footer, other_significant_nodes = find_structural_elements(
+                doc
+            )
+    finally:
+        end_inner_text_cache()
 
     return ReadabilityArticle(
         title=title,

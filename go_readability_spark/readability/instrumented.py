@@ -74,41 +74,51 @@ def extract_with_metrics(
         metrics.pruned_nodes / nodes_before if nodes_before > 0 else 0.0
     )
 
-    candidates = find_main_candidates(doc, nb_top)
-    metrics.candidate_count = len(candidates)
+    # the tree is immutable from here on (scoring touches only
+    # ContentScore) — memoize get_inner_text for the whole read phase
+    from .dom import begin_inner_text_cache, end_inner_text_cache
 
-    article_content = None
-    if candidates:
-        top = candidates[0]
-        metrics.top_score = top.readability if top.readability is not None else 0.0
-        metrics.link_density = get_link_density(top)
-        metrics.is_probably_content = is_probably_content(top)
-        text_length = byte_len(get_inner_text(top, False))
-        if text_length >= char_threshold and metrics.link_density <= 0.5:
-            article_content = top
+    begin_inner_text_cache()
+    try:
+        candidates = find_main_candidates(doc, nb_top)
+        metrics.candidate_count = len(candidates)
 
-    page_type = forced
-    if page_type == "":
-        page_type = (
-            PAGE_TYPE_ARTICLE
-            if article_content is not None
-            else classify_page_type(doc, candidates, char_threshold, "")
+        article_content = None
+        if candidates:
+            top = candidates[0]
+            metrics.top_score = (
+                top.readability if top.readability is not None else 0.0
+            )
+            metrics.link_density = get_link_density(top)
+            metrics.is_probably_content = is_probably_content(top)
+            text_length = byte_len(get_inner_text(top, False))
+            if text_length >= char_threshold and metrics.link_density <= 0.5:
+                article_content = top
+
+        page_type = forced
+        if page_type == "":
+            page_type = (
+                PAGE_TYPE_ARTICLE
+                if article_content is not None
+                else classify_page_type(doc, candidates, char_threshold, "")
+            )
+
+        header = footer = None
+        other: list = []
+        if page_type == PAGE_TYPE_ARTICLE and article_content is None:
+            header, footer, other = find_structural_elements(doc)
+
+        article = ReadabilityArticle(
+            title=get_article_title(doc),
+            byline=get_article_byline(doc),
+            root=article_content,
+            node_count=count_nodes(article_content),
+            page_type=page_type,
+            header=header,
+            footer=footer,
+            other_significant_nodes=other,
+            aria_tree=None,
         )
-
-    header = footer = None
-    other: list = []
-    if page_type == PAGE_TYPE_ARTICLE and article_content is None:
-        header, footer, other = find_structural_elements(doc)
-
-    article = ReadabilityArticle(
-        title=get_article_title(doc),
-        byline=get_article_byline(doc),
-        root=article_content,
-        node_count=count_nodes(article_content),
-        page_type=page_type,
-        header=header,
-        footer=footer,
-        other_significant_nodes=other,
-        aria_tree=None,
-    )
+    finally:
+        end_inner_text_cache()
     return article, metrics
