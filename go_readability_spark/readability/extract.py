@@ -58,6 +58,26 @@ class ReadabilityOptions:
 
 
 @dataclass
+class ArticleContent:
+    """article.go:28-34 — article-page view of the result."""
+
+    title: str = ""
+    byline: str = ""
+    root: Optional[VElement] = None
+
+
+@dataclass
+class OtherContent:
+    """article.go:36-45 — non-article-page view of the result."""
+
+    title: str = ""
+    header: Optional[VElement] = None
+    footer: Optional[VElement] = None
+    other_significant_nodes: list[VElement] = field(default_factory=list)
+    aria_tree: object = None
+
+
+@dataclass
 class ReadabilityArticle:
     """article.go:12-26."""
 
@@ -70,6 +90,20 @@ class ReadabilityArticle:
     footer: Optional[VElement] = None
     other_significant_nodes: list[VElement] = field(default_factory=list)
     aria_tree: object = None  # never populated by Extract (core.go:120-126)
+
+    def get_content_by_page_type(self):
+        """ArticleContent or OtherContent by page type (article.go:54-75)."""
+        if self.page_type == PAGE_TYPE_ARTICLE:
+            return ArticleContent(
+                title=self.title, byline=self.byline, root=self.root
+            )
+        return OtherContent(
+            title=self.title,
+            header=self.header,
+            footer=self.footer,
+            other_significant_nodes=self.other_significant_nodes,
+            aria_tree=self.aria_tree,
+        )
 
 
 def extract(
