@@ -55,12 +55,18 @@ def text_profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     n_chars = F.length(F.col(text_col))
     n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(PUNCT_RE), 0))
     n_stop = _count_in(toks, STOPWORDS)
-    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
-    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
+    # quality blends the UNROUNDED ratios: multiplying a 6-digit-rounded
+    # ratio by 5/10 lands exactly on a .5 at digit 7 whenever the rounded
+    # ratio's last digit is odd, and Spark/DuckDB break double round-half
+    # ties differently — unrounded inputs avoid the systematic tie
+    punct_raw = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_raw = n_stop / F.greatest(n_tokens, F.lit(1))
+    punct_ratio = F.round(punct_raw, 6)
+    stop_ratio = F.round(stop_raw, 6)
     quality = F.round(
         F.lit(0.4) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
-        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0)),
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_raw * 10, F.lit(1.0)))
+        + F.lit(0.3) * F.least(stop_raw * 5, F.lit(1.0)),
         6,
     )
     return docs.select(

@@ -454,14 +454,15 @@ with base as (
   from documents),
 ratios as (
   select doc_id, n_chars, n_tokens, n_bpe_tokens,
-    round(n_punct / greatest(n_chars, 1), 6) punct_ratio,
-    round(n_stop / greatest(n_tokens, 1), 6) stopword_ratio
+    n_punct / greatest(n_chars, 1) punct_raw,
+    n_stop / greatest(n_tokens, 1) stop_raw
   from base)
 select doc_id::bigint doc_id, n_chars, n_tokens, n_bpe_tokens,
-  punct_ratio, stopword_ratio,
+  round(punct_raw, 6) punct_ratio,
+  round(stop_raw, 6) stopword_ratio,
   round(0.4 * least(n_tokens / 100.0, 1.0)
-      + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
-      + 0.3 * least(stopword_ratio * 5, 1.0), 6) quality
+      + 0.3 * (1.0 - least(punct_raw * 10, 1.0))
+      + 0.3 * least(stop_raw * 5, 1.0), 6) quality
 from ratios
 """
 
