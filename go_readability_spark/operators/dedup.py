@@ -209,6 +209,49 @@ def simhash_fingerprints(
     return bit_sums.select("doc_id", fingerprint.cast("long").alias("simhash"))
 
 
+def embedding_near_dups_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs via sign-projection LSH buckets — the scale path.
+
+    One map pass assigns each vector a bucket; candidate pairs come from
+    an equi-join on the bucket (plus exact cosine verification), so the
+    cost is Σ bucket² instead of n² — with 2^n_planes buckets and
+    near-uniform hashing that is ~n²/2^n_planes. Approximate: pairs whose
+    vectors land in different buckets are missed (recall tunable via
+    n_planes and multiprobe; see similarity.ann_topk_lsh)."""
+    from ..functions.vectors import cosine_similarity
+    from .similarity import lsh_bucket_col
+
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket_col(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.round(
+                cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.3,
