@@ -206,6 +206,16 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, ANN_QUERY_ID, ANN_K)
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path embedding near-dup (bucketed LSH join) — approximate,
+    rows-only; the exact-block variant above carries the oracle."""
+    from .operators.dedup import embedding_near_dups_lsh
+
+    return embedding_near_dups_lsh(
+        load_table(spark, sf_dir, "embeddings"), EMB_NEAR_T
+    )
+
+
 def q_render_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLI-sink parity: clean-HTML / Markdown / text / metadata-JSON
     renderings of each extracted article (cmd/readability main.go:52-79)."""
@@ -610,6 +620,7 @@ QUERIES: dict[str, QueryFn] = {
     "extract_metrics_rollup": q_extract_metrics_rollup,
     "media_features": q_media_features,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "render_formats": q_render_formats,
     # oracle-checked
     "span_reassembly": q_span_reassembly,
