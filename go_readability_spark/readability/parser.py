@@ -86,6 +86,13 @@ SIBLING_SCOPE_EXTRA: dict[str, frozenset[str]] = {
 
 PRE_LIKE = frozenset({"pre", "textarea", "listing"})
 
+# HTML5 "active formatting elements" — candidates for reconstruction when
+# a mismatched end tag pops them (simplified adoption agency)
+FORMATTING_ELEMENTS = frozenset({
+    "a", "b", "big", "code", "em", "font", "i", "nobr", "s", "small",
+    "strike", "strong", "tt", "u",
+})
+
 
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
@@ -95,6 +102,9 @@ class _TreeBuilder(HTMLParser):
         self.body: VElement | None = None
         self.stack: list[VElement] = [self.root]
         self.mode = "before_head"
+        # formatting elements popped by a mismatched end tag, awaiting lazy
+        # reconstruction (tag, attrs) — see _materialize_pending
+        self.pending_format: list[tuple[str, dict]] = []
 
     # -- helpers -------------------------------------------------------
     def _current(self) -> VElement:
@@ -180,6 +190,15 @@ class _TreeBuilder(HTMLParser):
             if tag not in HEAD_ONLY and self._current() is self.head:
                 self._ensure_body()
 
+        if self.pending_format:
+            if tag in P_CLOSERS:
+                # conservative containment: reconstruction stays local to
+                # the inline run; a block boundary cancels it (the full
+                # spec would carry formatting into the new block)
+                self.pending_format.clear()
+            else:
+                self._materialize_pending()
+
         self._implicit_close(tag)
         self._insert(tag, attrs, push=tag not in VOID_ELEMENTS)
 
@@ -192,6 +211,18 @@ class _TreeBuilder(HTMLParser):
             self.handle_starttag(tag, attrs)
             # element stays open (pushed by handle_starttag)
 
+    def _materialize_pending(self) -> None:
+        """Reconstruct formatting elements popped by a mismatched end tag
+        (lazy — only when content actually follows, so no empty elements
+        are synthesized; the common observable effect of the HTML5
+        adoption-agency algorithm: ``<b>x<i>y</b>z`` italicizes z)."""
+        for tag, attrs in self.pending_format:
+            el = VElement(tag)
+            el.attributes.update(attrs)
+            self._current().append_child(el)
+            self.stack.append(el)
+        self.pending_format.clear()
+
     def handle_endtag(self, tag: str) -> None:
         if tag in ("html", "body", "head"):
             if tag == "head" and self.mode == "in_head":
@@ -200,7 +231,21 @@ class _TreeBuilder(HTMLParser):
             return
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag_name == tag:
+                # formatting elements above the match are implicitly
+                # popped — queue them for reconstruction
+                popped = self.stack[i + 1 :]
+                self.pending_format.extend(
+                    (el.tag_name, dict(el.attributes))
+                    for el in popped
+                    if el.tag_name in FORMATTING_ELEMENTS
+                )
                 del self.stack[i:]
+                return
+        # end tag for a pending (not-yet-reconstructed) formatting
+        # element cancels it
+        for j in range(len(self.pending_format) - 1, -1, -1):
+            if self.pending_format[j][0] == tag:
+                del self.pending_format[j]
                 return
         # unmatched end tag: ignored
 
@@ -218,6 +263,9 @@ class _TreeBuilder(HTMLParser):
                 self.head.append_child(VText(data))
                 return
             self._ensure_body()
+
+        if self.pending_format and data.strip():
+            self._materialize_pending()
 
         cur = self._current()
         if (

@@ -180,3 +180,44 @@ def test_whitespace_preserved_in_body_text():
     d = parse_html("<body><p>a\n    b</p></body>")
     p = get_elements_by_tag_name(d.body, "p")[0]
     assert p.children[0].text_content == "a\n    b"
+
+
+class TestAdoptionAgency:
+    """Simplified HTML5 adoption agency: formatting elements popped by a
+    mismatched end tag are lazily reconstructed for following content."""
+
+    def _body(self, html):
+        from go_readability_spark.readability.parser import (
+            parse_html,
+            serialize_to_html,
+        )
+
+        return serialize_to_html(parse_html(f"<html><body>{html}</body></html>", "").body)
+
+    def test_classic_b_i_misnesting(self):
+        assert (
+            self._body("<b>x<i>y</b>z</i>")
+            == "<body><b>x<i>y</i></b><i>z</i></body>"
+        )
+
+    def test_reconstruction_wraps_following_inline_elements(self):
+        assert (
+            self._body("<b>1<i>2</b>3<span>4</span></i>5")
+            == "<body><b>1<i>2</i></b><i>3<span>4</span></i>5</body>"
+        )
+
+    def test_no_empty_reconstruction_without_content(self):
+        # lazy: nothing follows, so no empty <i> is synthesized
+        assert self._body("<b>x<i>y</b></i>done") == (
+            "<body><b>x<i>y</i></b>done</body>"
+        )
+
+    def test_block_boundary_cancels(self):
+        assert self._body("<b>x<i>y</b><p>z</p>") == (
+            "<body><b>x<i>y</i></b><p>z</p></body>"
+        )
+
+    def test_em_strong(self):
+        assert self._body("<em>a<strong>b</em>c</strong>") == (
+            "<body><em>a<strong>b</strong></em><strong>c</strong></body>"
+        )
