@@ -18,6 +18,7 @@ Design notes for 100 TB scale:
 from __future__ import annotations
 
 import sys
+import time
 from typing import Iterator, Optional
 
 import pandas as pd
@@ -54,6 +55,7 @@ def _row_for_error(doc_id: str, doc_bytes: int, error: str) -> dict:
         },
         "doc_bytes": doc_bytes,
         "error": error,
+        "elapsed_ms": 0.0,
     }
 
 
@@ -87,6 +89,7 @@ def extract_batch_rows(
             )
             continue
         try:
+            t0 = time.perf_counter()
             html = spans_to_html(spans)
             article, metrics = extract_with_metrics(
                 html,
@@ -116,6 +119,7 @@ def extract_batch_rows(
                     },
                     "doc_bytes": doc_bytes,
                     "error": None,
+                    "elapsed_ms": round((time.perf_counter() - t0) * 1000, 3),
                 }
             )
         except Exception as exc:  # noqa: BLE001 — never kill the job
@@ -146,6 +150,7 @@ def _make_batch_fn(options: Optional[ReadabilityOptions], max_doc_bytes: int):
                     "metrics",
                     "doc_bytes",
                     "error",
+                    "elapsed_ms",
                 ],
             )
 
@@ -206,6 +211,7 @@ def _arrow_out_schema():
             ),
             ("doc_bytes", pa.int64()),
             ("error", pa.string()),
+            ("elapsed_ms", pa.float64()),
         ]
     )
 
@@ -238,7 +244,7 @@ def _make_arrow_fn(options: Optional[ReadabilityOptions], max_doc_bytes: int):
             offs = vals.field("offset").to_pylist()
 
             n = len(doc_ids)
-            metas, metricses, errors = [], [], []
+            metas, metricses, errors, elapsed = [], [], [], []
             flat_kind: list = []
             flat_text: list = []
             flat_ref: list = []
@@ -247,6 +253,7 @@ def _make_arrow_fn(options: Optional[ReadabilityOptions], max_doc_bytes: int):
 
             for i in range(n):
                 doc_bytes = int(byte_sizes[i] or 0)
+                t0 = time.perf_counter()
                 err = None
                 spans_out: list = []
                 meta = {"title": "", "byline": "", "page_type": "error",
@@ -305,6 +312,7 @@ def _make_arrow_fn(options: Optional[ReadabilityOptions], max_doc_bytes: int):
                 metas.append(meta)
                 metricses.append(metrics)
                 errors.append(err)
+                elapsed.append(round((time.perf_counter() - t0) * 1000, 3))
 
             spans_out_arr = pa.ListArray.from_arrays(
                 pa.array(out_offsets, pa.int32()),
@@ -328,6 +336,7 @@ def _make_arrow_fn(options: Optional[ReadabilityOptions], max_doc_bytes: int):
                         [int(b or 0) for b in byte_sizes], pa.int64()
                     ),
                     pa.array(errors, pa.string()),
+                    pa.array(elapsed, pa.float64()),
                 ],
                 schema=out_schema,
             )
@@ -379,4 +388,6 @@ def metrics_rollup(extracted: DataFrame, *group_cols: str) -> DataFrame:
         F.sum(
             F.when(F.col("metrics.is_probably_content"), 1).otherwise(0)
         ).alias("n_probably_content"),
+        F.max("elapsed_ms").alias("max_elapsed_ms"),
+        F.avg("elapsed_ms").alias("avg_elapsed_ms"),
     )

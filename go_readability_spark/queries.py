@@ -216,6 +216,45 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Showcase composition: the full training-data pipeline in one plan.
+
+    corpus → extraction → article text (native concat of output spans) →
+    quality profile + language ID (codegen) → exact-dedup keeper flag
+    (broadcast of the tiny keeper set). This is the chain a 100 TB
+    cleaning job runs; every stage is an operator tested individually."""
+    from .operators.textops import language_id, text_profile
+
+    ext = extract_documents(corpus_df(spark, CORPUS_DOCS))
+    articles = ext.filter(F.size("spans_out") > 0)
+    text_df = articles.select(
+        "doc_id",
+        F.expr(
+            "concat_ws(' ', transform(filter(spans_out, s -> s.kind = 'text'),"
+            " s -> s.text))"
+        ).alias("text"),
+        F.col("elapsed_ms"),
+    )
+    profile = text_profile(text_df)
+    lang = language_id(text_df)
+    keepers = dedup_exact(text_df).select(
+        F.col("keeper_id").alias("doc_id"), F.lit(True).alias("is_keeper")
+    )
+    return (
+        text_df.select("doc_id")
+        .join(profile, "doc_id")
+        .join(lang, "doc_id")
+        .join(F.broadcast(keepers), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality",
+            "lang_pred",
+            F.coalesce("is_keeper", F.lit(False)).alias("is_keeper"),
+        )
+    )
+
+
 def q_render_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLI-sink parity: clean-HTML / Markdown / text / metadata-JSON
     renderings of each extracted article (cmd/readability main.go:52-79)."""
@@ -621,6 +660,7 @@ QUERIES: dict[str, QueryFn] = {
     "media_features": q_media_features,
     "ann_topk_lsh": q_ann_topk_lsh,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "render_formats": q_render_formats,
     # oracle-checked
     "span_reassembly": q_span_reassembly,

@@ -93,6 +93,14 @@ FORMATTING_ELEMENTS = frozenset({
     "strike", "strong", "tt", "u",
 })
 
+# Simplified foster parenting: while one of these is the current node,
+# content other than table structure is inserted BEFORE the open table
+_TABLE_CONTEXT = frozenset({"table", "thead", "tbody", "tfoot", "tr"})
+_TABLE_ALLOWED = frozenset({
+    "caption", "colgroup", "col", "thead", "tbody", "tfoot", "tr", "td",
+    "th", "script", "style", "template", "form",
+})
+
 
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
@@ -199,6 +207,26 @@ class _TreeBuilder(HTMLParser):
             else:
                 self._materialize_pending()
 
+        # foster parenting: non-table content opened in table context goes
+        # before the table (HTML5 "in table" insertion mode, simplified)
+        if (
+            self._current().tag_name in _TABLE_CONTEXT
+            and tag not in _TABLE_ALLOWED
+            and tag != "table"
+        ):
+            point = self._foster_point()
+            if point is not None:
+                parent, idx = point
+                el = VElement(tag)
+                for name, value in attrs:
+                    if name not in el.attributes:
+                        el.attributes[name] = value if value is not None else ""
+                el.parent = parent
+                parent.children.insert(idx, el)
+                if tag not in VOID_ELEMENTS:
+                    self.stack.append(el)
+                return
+
         self._implicit_close(tag)
         self._insert(tag, attrs, push=tag not in VOID_ELEMENTS)
 
@@ -210,6 +238,19 @@ class _TreeBuilder(HTMLParser):
         else:
             self.handle_starttag(tag, attrs)
             # element stays open (pushed by handle_starttag)
+
+    def _foster_point(self):
+        """(parent, index) immediately before the nearest open table, or
+        None when no table is open (then content inserts normally)."""
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag_name == "table":
+                table = self.stack[i]
+                parent = table.parent if table.parent is not None else self.stack[i - 1]
+                for idx, child in enumerate(parent.children):
+                    if child is table:
+                        return parent, idx
+                return parent, len(parent.children)
+        return None
 
     def _materialize_pending(self) -> None:
         """Reconstruct formatting elements popped by a mismatched end tag
@@ -266,6 +307,20 @@ class _TreeBuilder(HTMLParser):
 
         if self.pending_format and data.strip():
             self._materialize_pending()
+
+        # foster parenting for character data in table context
+        if self._current().tag_name in _TABLE_CONTEXT and data.strip():
+            point = self._foster_point()
+            if point is not None:
+                parent, idx = point
+                prev = parent.children[idx - 1] if idx > 0 else None
+                if isinstance(prev, VText):
+                    prev.text_content += data
+                else:
+                    node = VText(data)
+                    node.parent = parent
+                    parent.children.insert(idx, node)
+                return
 
         cur = self._current()
         if (

@@ -83,5 +83,7 @@ EXTRACTED_SCHEMA = StructType(
         StructField("metrics", METRICS_TYPE),
         StructField("doc_bytes", LongType()),
         StructField("error", StringType()),
+        # per-doc UDF wall time — straggler/skew diagnosis at the row level
+        StructField("elapsed_ms", DoubleType()),
     ]
 )

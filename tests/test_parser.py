@@ -221,3 +221,49 @@ class TestAdoptionAgency:
         assert self._body("<em>a<strong>b</em>c</strong>") == (
             "<body><em>a<strong>b</strong></em><strong>c</strong></body>"
         )
+
+
+class TestFosterParenting:
+    """Simplified HTML5 foster parenting: non-table content in table
+    context is inserted before the open table."""
+
+    def _body(self, html):
+        from go_readability_spark.readability.parser import (
+            parse_html,
+            serialize_to_html,
+        )
+
+        return serialize_to_html(
+            parse_html(f"<html><body>{html}</body></html>", "").body
+        )
+
+    def test_stray_text_in_table(self):
+        assert self._body("<table>stray<tr><td>cell</td></tr></table>") == (
+            "<body>stray<table><tr><td>cell</td></tr></table></body>"
+        )
+
+    def test_block_element_in_table(self):
+        assert self._body(
+            "<table><div>block</div><tr><td>c</td></tr></table>"
+        ) == "<body><div>block</div><table><tr><td>c</td></tr></table></body>"
+
+    def test_text_in_tbody_and_tr(self):
+        assert self._body(
+            "<table><tbody>text<tr><td>c</td></tr></tbody></table>"
+        ) == "<body>text<table><tbody><tr><td>c</td></tr></tbody></table></body>"
+        assert self._body("<table><tr>rowtext<td>c</td></tr></table>") == (
+            "<body>rowtext<table><tr><td>c</td></tr></table></body>"
+        )
+
+    def test_cell_content_not_fostered(self):
+        assert self._body("<table><tr><td>fine</td></tr></table>") == (
+            "<body><table><tr><td>fine</td></tr></table></body>"
+        )
+
+    def test_nested_table_fosters_into_cell(self):
+        assert self._body(
+            "<table><tr><td><table>inner<tr><td>x</td></tr></table></td></tr></table>"
+        ) == (
+            "<body><table><tr><td>inner<table><tr><td>x</td></tr></table>"
+            "</td></tr></table></body>"
+        )
