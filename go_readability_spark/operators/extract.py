@@ -232,16 +232,22 @@ def _make_arrow_fn(options: Optional[ReadabilityOptions], max_doc_bytes: int):
         for batch in batches:
             doc_ids = batch.column("doc_id").to_pylist()
             byte_sizes = batch.column("doc_bytes").to_pylist()
-            lst = batch.column("spans")
-            if lst.offset != 0:  # defensive: sliced arrays, rare
-                lst = pa.concat_arrays([lst])
-            offsets = lst.offsets.to_pylist()
-            valids = lst.is_valid().to_pylist()
-            vals = lst.values
-            kinds = vals.field("kind").to_pylist()
-            texts = vals.field("text").to_pylist()
-            refs = vals.field("media_ref").to_pylist()
-            offs = vals.field("offset").to_pylist()
+            htmls = None
+            if "html" in batch.schema.names:
+                # native-reassembly path: the JVM already sorted and
+                # concatenated the spans — one string per doc
+                htmls = batch.column("html").to_pylist()
+            else:
+                lst = batch.column("spans")
+                if lst.offset != 0:  # defensive: sliced arrays, rare
+                    lst = pa.concat_arrays([lst])
+                offsets = lst.offsets.to_pylist()
+                valids = lst.is_valid().to_pylist()
+                vals = lst.values
+                kinds = vals.field("kind").to_pylist()
+                texts = vals.field("text").to_pylist()
+                refs = vals.field("media_ref").to_pylist()
+                offs = vals.field("offset").to_pylist()
 
             n = len(doc_ids)
             metas, metricses, errors, elapsed = [], [], [], []
@@ -263,20 +269,23 @@ def _make_arrow_fn(options: Optional[ReadabilityOptions], max_doc_bytes: int):
                     "prune_ratio": 0.0, "top_score": 0.0,
                     "link_density": 0.0, "is_probably_content": False,
                 }
-                if not valids[i]:
+                if (htmls[i] is None) if htmls is not None else (not valids[i]):
                     err = "null spans"
                 elif doc_bytes > max_doc_bytes:
                     err = f"doc_bytes {doc_bytes} > cap {max_doc_bytes}"
                 else:
                     try:
-                        s, e = offsets[i], offsets[i + 1]
-                        order = sorted(range(s, e), key=lambda j: offs[j])
-                        html = "".join(
-                            media_placeholder(refs[j] or "", texts[j] or "")
-                            if kinds[j] == "media"
-                            else (texts[j] or "")
-                            for j in order
-                        )
+                        if htmls is not None:
+                            html = htmls[i]
+                        else:
+                            s, e = offsets[i], offsets[i + 1]
+                            order = sorted(range(s, e), key=lambda j: offs[j])
+                            html = "".join(
+                                media_placeholder(refs[j] or "", texts[j] or "")
+                                if kinds[j] == "media"
+                                else (texts[j] or "")
+                                for j in order
+                            )
                         article, m = extract_with_metrics(
                             html,
                             ReadabilityOptions(
@@ -351,18 +360,36 @@ def extract_documents(
     max_doc_bytes: int = MAX_DOC_BYTES,
     repartition: bool = True,
     use_arrow: bool = True,
+    native_reassembly: bool = False,
 ) -> DataFrame:
     """documents(doc_id, spans) → extracted(doc_id, spans_out, meta, metrics,
-    doc_bytes, error).
+    doc_bytes, error, elapsed_ms).
 
     ``repartition=False`` keeps the input partitioning (useful when the
     caller already co-partitioned, e.g. the checkpointed per-partition loop).
-    ``use_arrow=False`` selects the pandas-dict reference path (slower;
-    kept for A/B testing — both paths are parity-tested)."""
+    ``native_reassembly=True`` sorts + concatenates the spans into the html
+    string JVM-side (plans/skew.with_reassembled_html, value-identical to
+    spans_to_html) so Arrow transfers one string per doc instead of the
+    span structs. Measured and left OFF by default: Spark's higher-order
+    functions are interpreted (never codegen'd), and the JVM expression +
+    single-large-string transfer benched ~1.5x slower end-to-end than
+    letting the Python side rebuild from the flat Arrow child arrays
+    (13.7s vs 9.2s on the 48k bench corpus). ``use_arrow=False`` selects
+    the pandas-dict reference path (slower; kept for A/B — all paths are
+    parity-tested)."""
     df = with_doc_bytes(df)
     if repartition:
         num = num_partitions or df.sparkSession.sparkContext.defaultParallelism
         df = skew_partitioned(df, num)
+    if native_reassembly and use_arrow:
+        from ..plans.skew import with_reassembled_html
+
+        narrowed = with_reassembled_html(df).select(
+            "doc_id", "html", "doc_bytes"
+        )
+        return narrowed.mapInArrow(
+            _make_arrow_fn(options, max_doc_bytes), EXTRACTED_SCHEMA
+        )
     narrowed = df.select("doc_id", "spans", "doc_bytes")
     if use_arrow:
         return narrowed.mapInArrow(

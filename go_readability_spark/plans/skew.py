@@ -51,6 +51,51 @@ def with_doc_bytes(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     )
 
 
+# Native escape chain replicating spans.escape_html exactly (format.go
+# order: & first, then U+00A0, <, >, ", \')
+_ESC_STEPS = (
+    ("&", "&amp;"),
+    ("\u00a0", "&nbsp;"),
+    ("<", "&lt;"),
+    (">", "&gt;"),
+    ('"', "&quot;"),
+    ("'", "&#039;"),
+)
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _esc_sql(expr: str) -> str:
+    out = f"coalesce({expr}, '')"
+    for src, dst in _ESC_STEPS:
+        out = f"replace({out}, {_sql_str(src)}, {_sql_str(dst)})"
+    return out
+
+
+_REASSEMBLE_EXPR = (
+    "CASE WHEN {col} IS NULL THEN NULL ELSE "
+    "concat_ws('', transform("
+    "array_sort({col}, (a, b) -> CASE WHEN a.offset < b.offset THEN -1 "
+    "WHEN a.offset > b.offset THEN 1 ELSE 0 END), "
+    "s -> CASE WHEN s.kind = 'media' THEN "
+    "concat('<x-media ref=\"', " + _esc_sql("s.media_ref") + ", "
+    "'\" alt=\"', " + _esc_sql("s.text") + ", '\"/>') "
+    "ELSE coalesce(s.text, '') END)) END"
+)
+
+
+def with_reassembled_html(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Add ``html`` — the document reassembled from its spans entirely in
+    the JVM (sort by offset, media → escaped ``<x-media/>`` placeholder,
+    concat). Value-identical to spans.spans_to_html (parity-tested);
+    moving it JVM-side means the Python UDF receives ONE string per doc
+    instead of thousands of span structs — a large Arrow-transfer win on
+    giant documents."""
+    return df.withColumn("html", F.expr(_REASSEMBLE_EXPR.format(col=spans_col)))
+
+
 def with_size_bucket(
     df: DataFrame,
     small: int = 64 * 1024,

@@ -184,3 +184,50 @@ class TestDriverDocsSource:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestNativeReassembly:
+    """JVM-side span reassembly option: value-identical to the Python
+    codec (kept off by default — measured slower; see extract_documents
+    docstring)."""
+
+    def test_native_equals_codec(self, spark):
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from go_readability_spark.plans.skew import with_reassembled_html
+
+        docs = corpus_df(spark, 12)
+        rows = with_reassembled_html(docs).select(
+            "doc_id", F.md5("html").alias("h")
+        ).collect()
+        from go_readability_spark.spans import spans_to_html
+
+        for r in rows:
+            expected = spans_to_html(generate_doc(r["doc_id"]))
+            assert (
+                hashlib.md5(expected.encode()).hexdigest() == r["h"]
+            ), r["doc_id"]
+
+    def test_native_extraction_parity(self, spark):
+        docs = corpus_df(spark, 10)
+        def key(r):
+            return (
+                r["doc_id"],
+                tuple(tuple(s) for s in r["spans_out"]),
+                tuple(r["meta"]),
+                r["error"],
+            )
+
+        a = sorted(
+            key(r)
+            for r in extract_documents(
+                docs, num_partitions=2, native_reassembly=True
+            ).collect()
+        )
+        b = sorted(
+            key(r)
+            for r in extract_documents(docs, num_partitions=2).collect()
+        )
+        assert a == b
