@@ -78,8 +78,10 @@ def extract_batch_rows(
     out: list[dict] = []
     for doc_id, spans, doc_bytes in zip(doc_ids, spans_lists, doc_bytes_list):
         doc_bytes = int(doc_bytes) if doc_bytes is not None else 0
-        if spans is None:
-            out.append(_row_for_error(doc_id, 0, "null spans"))
+        if spans is None or any(
+            s is None or s.get("offset") is None for s in spans
+        ):
+            out.append(_row_for_error(doc_id, doc_bytes, "null spans"))
             continue
         if doc_bytes > max_doc_bytes:
             out.append(
@@ -269,10 +271,24 @@ def _make_arrow_fn(options: Optional[ReadabilityOptions], max_doc_bytes: int):
                     "prune_ratio": 0.0, "top_score": 0.0,
                     "link_density": 0.0, "is_probably_content": False,
                 }
-                if (htmls[i] is None) if htmls is not None else (not valids[i]):
-                    err = "null spans"
-                elif doc_bytes > max_doc_bytes:
+                if doc_bytes > max_doc_bytes:
+                    # checked first: the native path nulls over-cap html
+                    # without reassembling, and the cap message must win
                     err = f"doc_bytes {doc_bytes} > cap {max_doc_bytes}"
+                elif (
+                    (htmls[i] is None)
+                    if htmls is not None
+                    else (
+                        not valids[i]
+                        # malformed entries: null span structs or null
+                        # offsets → error row, matching the other paths
+                        or any(
+                            offs[j] is None
+                            for j in range(offsets[i], offsets[i + 1])
+                        )
+                    )
+                ):
+                    err = "null spans"
                 else:
                     try:
                         if htmls is not None:
@@ -374,7 +390,9 @@ def extract_documents(
     functions are interpreted (never codegen'd), and the JVM expression +
     single-large-string transfer benched ~1.5x slower end-to-end than
     letting the Python side rebuild from the flat Arrow child arrays
-    (13.7s vs 9.2s on the 48k bench corpus). ``use_arrow=False`` selects
+    (13.7s vs 9.2s on the 48k bench corpus). Note: under the native path
+    ``elapsed_ms`` excludes reassembly (it happened JVM-side), so elapsed
+    values are not comparable across modes. ``use_arrow=False`` selects
     the pandas-dict reference path (slower; kept for A/B — all paths are
     parity-tested)."""
     df = with_doc_bytes(df)

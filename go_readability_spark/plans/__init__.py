@@ -12,5 +12,6 @@ from .skew import (  # noqa: F401
     MAX_DOC_BYTES,
     skew_partitioned,
     with_doc_bytes,
+    with_reassembled_html,
     with_size_bucket,
 )

@@ -26,6 +26,7 @@ __all__ = [
     "GIANT_DOC_BYTES",
     "MAX_DOC_BYTES",
     "with_doc_bytes",
+    "with_reassembled_html",
     "with_size_bucket",
     "skew_partitioned",
 ]
@@ -35,10 +36,13 @@ GIANT_DOC_BYTES = 1 * 1024 * 1024
 # per-doc hard cutoff: above this the UDF emits an error row without parsing
 MAX_DOC_BYTES = 64 * 1024 * 1024
 
+# coalesce: a NULL spans array must yield doc_bytes 0, not NULL — a NULL
+# doc_bytes would fail BOTH split-union filters in skew_partitioned and
+# silently drop the row instead of producing an error row
 _DOC_BYTES_EXPR = (
-    "aggregate(transform(filter({col}, s -> s.kind = 'text'), "
+    "coalesce(aggregate(transform(filter({col}, s -> s.kind = 'text'), "
     "s -> coalesce(octet_length(s.text), 0)), "
-    "0L, (acc, x) -> acc + x)"
+    "0L, (acc, x) -> acc + x), 0L)"
 )
 
 
@@ -74,8 +78,14 @@ def _esc_sql(expr: str) -> str:
     return out
 
 
+# malformed arrays (null elements / null offsets) also yield NULL so the
+# UDF emits an error row, matching the decode path's behavior (which hits
+# a TypeError and emits an error row; the error text differs)
 _REASSEMBLE_EXPR = (
-    "CASE WHEN {col} IS NULL THEN NULL ELSE "
+    "CASE WHEN {col} IS NULL "
+    "OR exists({col}, s -> s IS NULL OR s.offset IS NULL) "
+    "{cap_clause}"
+    "THEN NULL ELSE "
     "concat_ws('', transform("
     "array_sort({col}, (a, b) -> CASE WHEN a.offset < b.offset THEN -1 "
     "WHEN a.offset > b.offset THEN 1 ELSE 0 END), "
@@ -86,14 +96,25 @@ _REASSEMBLE_EXPR = (
 )
 
 
-def with_reassembled_html(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+def with_reassembled_html(
+    df: DataFrame,
+    spans_col: str = "spans",
+    max_doc_bytes: int | None = None,
+) -> DataFrame:
     """Add ``html`` — the document reassembled from its spans entirely in
     the JVM (sort by offset, media → escaped ``<x-media/>`` placeholder,
-    concat). Value-identical to spans.spans_to_html (parity-tested);
-    moving it JVM-side means the Python UDF receives ONE string per doc
-    instead of thousands of span structs — a large Arrow-transfer win on
-    giant documents."""
-    return df.withColumn("html", F.expr(_REASSEMBLE_EXPR.format(col=spans_col)))
+    concat). Value-identical to spans.spans_to_html for well-formed spans
+    (parity-tested); malformed spans (null entries/offsets) yield NULL so
+    the UDF emits an error row on both paths. ``max_doc_bytes`` skips
+    reassembly for over-cap docs entirely (the UDF's cap check runs
+    before its null check, so they still get the cap error message)."""
+    cap_clause = (
+        f"OR doc_bytes > {int(max_doc_bytes)} " if max_doc_bytes else ""
+    )
+    return df.withColumn(
+        "html",
+        F.expr(_REASSEMBLE_EXPR.format(col=spans_col, cap_clause=cap_clause)),
+    )
 
 
 def with_size_bucket(

@@ -217,6 +217,8 @@ class TestNativeReassembly:
                 r["doc_id"],
                 tuple(tuple(s) for s in r["spans_out"]),
                 tuple(r["meta"]),
+                tuple(r["metrics"]),
+                r["doc_bytes"],
                 r["error"],
             )
 
@@ -231,3 +233,49 @@ class TestNativeReassembly:
             for r in extract_documents(docs, num_partitions=2).collect()
         )
         assert a == b
+
+
+class TestMalformedSpans:
+    """All three extraction paths emit identical error rows for malformed
+    inputs — and the split-union partitioner must not drop rows whose
+    doc_bytes would be NULL (regression: null spans arrays vanished)."""
+
+    CASES = [
+        ("ok", [{"kind": "text", "text": "<p>" + "hello world, " * 60 + "</p>",
+                 "media_ref": "", "offset": 0}]),
+        ("null-span-entry", [None, {"kind": "text", "text": "<p>hi</p>",
+                                    "media_ref": "", "offset": 1}]),
+        ("null-offset", [{"kind": "text", "text": "X", "media_ref": "",
+                          "offset": None}]),
+        ("null-array", None),
+    ]
+
+    def test_identical_error_rows_all_paths(self, spark):
+        from go_readability_spark.schemas import DOCUMENTS_SCHEMA
+
+        df = spark.createDataFrame(self.CASES, DOCUMENTS_SCHEMA)
+        results = {}
+        for name, kw in [
+            ("native", dict(native_reassembly=True)),
+            ("decode", {}),
+            ("pandas", dict(use_arrow=False)),
+        ]:
+            out = {
+                r["doc_id"]: r["error"]
+                for r in extract_documents(df, num_partitions=2, **kw).collect()
+            }
+            assert len(out) == len(self.CASES), f"{name}: rows dropped"
+            results[name] = out
+        assert results["native"] == results["decode"] == results["pandas"]
+        assert results["decode"]["ok"] is None
+        for bad in ("null-span-entry", "null-offset", "null-array"):
+            assert results["decode"][bad] == "null spans"
+
+    def test_cap_message_wins_on_native_path(self, spark):
+        from go_readability_spark.schemas import DOCUMENTS_SCHEMA
+
+        df = spark.createDataFrame(self.CASES[:1], DOCUMENTS_SCHEMA)
+        row = extract_documents(
+            df, num_partitions=1, native_reassembly=True, max_doc_bytes=10
+        ).collect()[0]
+        assert row["error"].startswith("doc_bytes")
