@@ -109,17 +109,30 @@ class ReadabilityArticle:
 def extract(
     html: str, options: Optional[ReadabilityOptions] = None
 ) -> ReadabilityArticle:
-    """Main entry point (core.go:25-51)."""
+    """Main entry point (core.go:25-51).
+
+    Defaults are applied to a COPY: Go passes Options by value
+    (core.go:25), so its in-function defaulting never leaks to the
+    caller — mutating the caller's instance here would silently force
+    page_type='article' on their later extract_content calls."""
     options = options or ReadabilityOptions()
     doc = parse_html(html, "")
     preprocess_document(doc)
-    if options.char_threshold <= 0:
-        options.char_threshold = DEFAULT_CHAR_THRESHOLD
-    if options.nb_top_candidates <= 0:
-        options.nb_top_candidates = DEFAULT_N_TOP_CANDIDATES
-    if options.forced_page_type == "":
-        options.forced_page_type = PAGE_TYPE_ARTICLE
-    return extract_content(doc, options)
+    effective = ReadabilityOptions(
+        char_threshold=(
+            options.char_threshold
+            if options.char_threshold > 0
+            else DEFAULT_CHAR_THRESHOLD
+        ),
+        nb_top_candidates=(
+            options.nb_top_candidates
+            if options.nb_top_candidates > 0
+            else DEFAULT_N_TOP_CANDIDATES
+        ),
+        generate_aria_tree=options.generate_aria_tree,
+        forced_page_type=options.forced_page_type or PAGE_TYPE_ARTICLE,
+    )
+    return extract_content(doc, effective)
 
 
 def extract_content(
@@ -133,6 +146,19 @@ def extract_content(
     calling this function directly with forced_page_type="".
     """
     options = options or ReadabilityOptions(forced_page_type="")
+    return _extract_content_core(doc, options)
+
+
+def _extract_content_core(
+    doc: VDocument,
+    options: ReadabilityOptions,
+    metrics_out: Optional[dict] = None,
+) -> ReadabilityArticle:
+    """Shared lifecycle for extract_content and extract_with_metrics.
+
+    ``metrics_out`` (a plain dict, to avoid a circular import with
+    instrumented.py) receives candidate_count / top_score / link_density /
+    is_probably_content when provided."""
     char_threshold = (
         options.char_threshold
         if options.char_threshold > 0
@@ -153,11 +179,25 @@ def extract_content(
         candidates = find_main_candidates(doc, nb_top_candidates)
         top_candidate: Optional[VElement] = None
         article_content: Optional[VElement] = None
+        if metrics_out is not None:
+            metrics_out["candidate_count"] = len(candidates)
 
         if candidates:
             top_candidate = candidates[0]
             text_length = byte_len(get_inner_text(top_candidate, False))
             link_density = get_link_density(top_candidate)
+            if metrics_out is not None:
+                from .scoring import is_probably_content
+
+                metrics_out["top_score"] = (
+                    top_candidate.readability
+                    if top_candidate.readability is not None
+                    else 0.0
+                )
+                metrics_out["link_density"] = link_density
+                metrics_out["is_probably_content"] = is_probably_content(
+                    top_candidate
+                )
             # accept gate (core.go:83-94)
             if text_length >= char_threshold and link_density <= 0.5:
                 article_content = top_candidate

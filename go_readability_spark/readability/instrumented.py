@@ -6,6 +6,10 @@ candidate_count, pruned_nodes, prune_ratio, top_score, link_density,
 is_probably_content. These feed the partition-level metrics rollup
 (SURVEY.md §4.2) — the reference has no equivalent; the numbers come from
 its intermediate state (scored candidate list, preprocess deletions).
+
+The extraction itself is shared with ``extract_content`` via
+``_extract_content_core`` — one implementation, so the instrumented Spark
+path cannot drift from the library path.
 """
 
 from __future__ import annotations
@@ -13,19 +17,15 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
-from .classify import PAGE_TYPE_ARTICLE, classify_page_type
-from .dom import get_inner_text, get_link_density
+from .classify import PAGE_TYPE_ARTICLE
 from .extract import (
     ReadabilityArticle,
     ReadabilityOptions,
-    find_structural_elements,
+    _extract_content_core,
 )
 from .fmt import count_nodes
-from .metadata import get_article_byline, get_article_title
 from .parser import parse_html
 from .preprocess import preprocess_document
-from .regexps import DEFAULT_CHAR_THRESHOLD, DEFAULT_N_TOP_CANDIDATES, byte_len
-from .scoring import find_main_candidates, is_probably_content
 
 __all__ = ["ExtractionMetrics", "extract_with_metrics"]
 
@@ -52,17 +52,6 @@ def extract_with_metrics(
     """
     if options is None:
         options = ReadabilityOptions(forced_page_type=PAGE_TYPE_ARTICLE)
-    char_threshold = (
-        options.char_threshold
-        if options.char_threshold > 0
-        else DEFAULT_CHAR_THRESHOLD
-    )
-    nb_top = (
-        options.nb_top_candidates
-        if options.nb_top_candidates > 0
-        else DEFAULT_N_TOP_CANDIDATES
-    )
-    forced = options.forced_page_type
 
     metrics = ExtractionMetrics()
     doc = parse_html(html, "")
@@ -74,51 +63,10 @@ def extract_with_metrics(
         metrics.pruned_nodes / nodes_before if nodes_before > 0 else 0.0
     )
 
-    # the tree is immutable from here on (scoring touches only
-    # ContentScore) — memoize get_inner_text for the whole read phase
-    from .dom import begin_inner_text_cache, end_inner_text_cache
-
-    begin_inner_text_cache()
-    try:
-        candidates = find_main_candidates(doc, nb_top)
-        metrics.candidate_count = len(candidates)
-
-        article_content = None
-        if candidates:
-            top = candidates[0]
-            metrics.top_score = (
-                top.readability if top.readability is not None else 0.0
-            )
-            metrics.link_density = get_link_density(top)
-            metrics.is_probably_content = is_probably_content(top)
-            text_length = byte_len(get_inner_text(top, False))
-            if text_length >= char_threshold and metrics.link_density <= 0.5:
-                article_content = top
-
-        page_type = forced
-        if page_type == "":
-            page_type = (
-                PAGE_TYPE_ARTICLE
-                if article_content is not None
-                else classify_page_type(doc, candidates, char_threshold, "")
-            )
-
-        header = footer = None
-        other: list = []
-        if page_type == PAGE_TYPE_ARTICLE and article_content is None:
-            header, footer, other = find_structural_elements(doc)
-
-        article = ReadabilityArticle(
-            title=get_article_title(doc),
-            byline=get_article_byline(doc),
-            root=article_content,
-            node_count=count_nodes(article_content),
-            page_type=page_type,
-            header=header,
-            footer=footer,
-            other_significant_nodes=other,
-            aria_tree=None,
-        )
-    finally:
-        end_inner_text_cache()
+    captured: dict = {}
+    article = _extract_content_core(doc, options, metrics_out=captured)
+    metrics.candidate_count = captured.get("candidate_count", 0)
+    metrics.top_score = captured.get("top_score", 0.0)
+    metrics.link_density = captured.get("link_density", 0.0)
+    metrics.is_probably_content = captured.get("is_probably_content", False)
     return article, metrics

@@ -186,10 +186,14 @@ def get_jsonld(doc: VDocument) -> ReadabilityMetadata:
         if isinstance(loaded, dict):
             parsed = loaded
         elif isinstance(loaded, list):
+            # Go unmarshals into []map[string]any (metadata.go:264-270):
+            # ANY non-object element fails the whole unmarshal and the
+            # script is skipped — replicate that strictness
+            if not all(isinstance(item, dict) for item in loaded):
+                continue
             for item in loaded:
                 if (
-                    isinstance(item, dict)
-                    and isinstance(item.get("@type"), str)
+                    isinstance(item.get("@type"), str)
                     and JSONLD_ARTICLE_TYPES.search(item["@type"])
                 ):
                     parsed = item

@@ -179,7 +179,10 @@ class _TreeBuilder(HTMLParser):
             return
         if tag == "body":
             self._ensure_body()
-            if self.body is not None and not self.body.attributes:
+            if self.body is not None:
+                # per-attribute merge: a repeated <body> tag contributes
+                # each attribute the body doesn't already have
+                # (x/net/html body-in-body rule)
                 for name, value in attrs:
                     if name not in self.body.attributes:
                         self.body.attributes[name] = (
@@ -197,15 +200,35 @@ class _TreeBuilder(HTMLParser):
         elif self.mode == "in_head":
             if tag not in HEAD_ONLY and self._current() is self.head:
                 self._ensure_body()
+        elif self.mode == "after_head":
+            # content after an explicit </head> with no <body> tag must
+            # still synthesize and enter body (x/net/html :70-82)
+            if tag not in HEAD_ONLY:
+                self._ensure_body()
 
         if self.pending_format:
-            if tag in P_CLOSERS:
+            if tag in P_CLOSERS or self._current().tag_name in _TABLE_CONTEXT:
                 # conservative containment: reconstruction stays local to
-                # the inline run; a block boundary cancels it (the full
-                # spec would carry formatting into the new block)
+                # the inline run; block boundaries and table context
+                # cancel it (the spec carries formatting further, but
+                # materializing into <tr>/<table> corrupts the tree)
                 self.pending_format.clear()
             else:
                 self._materialize_pending()
+
+        # a <table> start while still in table context closes the open
+        # table first — the new table becomes its SIBLING (HTML5 "in
+        # table" handling of a table token), never a child of <tr>
+        if tag == "table" and self._current().tag_name in _TABLE_CONTEXT:
+            for i in range(len(self.stack) - 1, 0, -1):
+                if self.stack[i].tag_name == "table":
+                    del self.stack[i:]
+                    break
+
+        # implicit closes run BEFORE the foster check so that a tag which
+        # closes a fostered element (e.g. the second <p> of
+        # <table><p>one<p>two) re-enters table context and fosters too
+        self._implicit_close(tag)
 
         # foster parenting: non-table content opened in table context goes
         # before the table (HTML5 "in table" insertion mode, simplified)
@@ -227,17 +250,13 @@ class _TreeBuilder(HTMLParser):
                     self.stack.append(el)
                 return
 
-        self._implicit_close(tag)
         self._insert(tag, attrs, push=tag not in VOID_ELEMENTS)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         # "<div/>" on a non-void HTML element: x/net/html ignores the
-        # self-closing flag and keeps the element open — replicate that.
-        if tag in VOID_ELEMENTS:
-            self.handle_starttag(tag, attrs)
-        else:
-            self.handle_starttag(tag, attrs)
-            # element stays open (pushed by handle_starttag)
+        # self-closing flag and keeps the element open — same code path
+        # as a plain start tag either way.
+        self.handle_starttag(tag, attrs)
 
     def _foster_point(self):
         """(parent, index) immediately before the nearest open table, or
@@ -273,13 +292,16 @@ class _TreeBuilder(HTMLParser):
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag_name == tag:
                 # formatting elements above the match are implicitly
-                # popped — queue them for reconstruction
-                popped = self.stack[i + 1 :]
-                self.pending_format.extend(
-                    (el.tag_name, dict(el.attributes))
-                    for el in popped
-                    if el.tag_name in FORMATTING_ELEMENTS
-                )
+                # popped — queue them for reconstruction, EXCEPT across
+                # cell/caption/table closes: those are formatting-scope
+                # markers in HTML5, formatting never leaks out of a cell
+                if tag not in ("td", "th", "caption", "table"):
+                    popped = self.stack[i + 1 :]
+                    self.pending_format.extend(
+                        (el.tag_name, dict(el.attributes))
+                        for el in popped
+                        if el.tag_name in FORMATTING_ELEMENTS
+                    )
                 del self.stack[i:]
                 return
         # end tag for a pending (not-yet-reconstructed) formatting
@@ -306,7 +328,10 @@ class _TreeBuilder(HTMLParser):
             self._ensure_body()
 
         if self.pending_format and data.strip():
-            self._materialize_pending()
+            if self._current().tag_name in _TABLE_CONTEXT:
+                self.pending_format.clear()  # never reconstruct into <tr>
+            else:
+                self._materialize_pending()
 
         # foster parenting for character data in table context
         if self._current().tag_name in _TABLE_CONTEXT and data.strip():

@@ -234,3 +234,19 @@ def test_text_similarity():
     assert text_similarity("a b c", "x y z") == 0.0
     sim = text_similarity("the quick brown fox", "the quick red fox")
     assert 0.0 < sim < 1.0
+
+
+def test_jsonld_array_with_non_object_element_rejected():
+    """Go unmarshals arrays into []map[string]any — any non-object element
+    fails the whole script (metadata.go:264-270)."""
+    from go_readability_spark.readability.metadata import get_article_byline
+    from go_readability_spark.readability.parser import parse_html
+
+    doc = parse_html(
+        '<html><head><script type="application/ld+json">'
+        '[{"@context":"https://schema.org","@type":"NewsArticle",'
+        '"author":{"name":"Jane"}}, "stray"]</script></head>'
+        "<body></body></html>",
+        "",
+    )
+    assert get_article_byline(doc) == ""

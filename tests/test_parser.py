@@ -267,3 +267,62 @@ class TestFosterParenting:
             "<body><table><tr><td>inner<table><tr><td>x</td></tr></table>"
             "</td></tr></table></body>"
         )
+
+
+class TestReviewRegressions:
+    """Regressions from the round-1 code review of the parser."""
+
+    def _body(self, html):
+        from go_readability_spark.readability.parser import (
+            parse_html,
+            serialize_to_html,
+        )
+
+        return serialize_to_html(parse_html(html, "").body)
+
+    def test_after_head_content_enters_body(self):
+        got = self._body(
+            "<html><head><title>t</title></head>"
+            "<div id=main><p>Hello world</p></div></html>"
+        )
+        assert got == '<body><div id="main"><p>Hello world</p></div></body>'
+
+    def test_formatting_does_not_leak_across_cells(self):
+        got = self._body(
+            "<html><body><table><tr><td><b>x</td><td>y</td></tr></table>"
+            "</body></html>"
+        )
+        assert got == (
+            "<body><table><tr><td><b>x</b></td><td>y</td></tr></table></body>"
+        )
+
+    def test_successive_paragraphs_both_fostered(self):
+        got = self._body("<html><body><table><p>one<p>two</table></body></html>")
+        assert got == "<body><p>one</p><p>two</p><table></table></body>"
+
+    def test_table_in_table_becomes_sibling(self):
+        got = self._body(
+            "<html><body><div><table><tr><table><tr><td>i</td></tr></table>"
+            "</tr></table></div></body></html>"
+        )
+        assert got == (
+            "<body><div><table><tr></tr></table>"
+            "<table><tr><td>i</td></tr></table></div></body>"
+        )
+
+    def test_second_body_merges_attributes(self):
+        got = self._body("<body class=a><body id=b><p>x</p>")
+        assert got == '<body class="a" id="b"><p>x</p></body>'
+
+
+class TestOptionsNotMutated:
+    def test_extract_does_not_mutate_caller_options(self):
+        from go_readability_spark.readability import (
+            ReadabilityOptions,
+            extract,
+        )
+
+        opts = ReadabilityOptions(forced_page_type="")
+        extract("<p>x</p>", opts)
+        assert opts.forced_page_type == ""
+        assert opts.char_threshold == 500
