@@ -91,6 +91,10 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 timings[name] = -1.0
                 print(f"# query {name} failed: {exc}", file=sys.stderr)
+            # operators persist intermediates (shingles, LSH buckets,
+            # pipeline text) scoped to their own execution — release
+            # them so the loop's storage footprint stays bounded
+            spark.catalog.clearCache()
 
     result = {
         "metric": "extraction_wall_sec",

@@ -35,33 +35,39 @@ ROLLING_P = 1_000_000_007
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens of trimmed text (array<string>)."""
-    return F.split(F.trim(col), WS_SPLIT)
+    """Whitespace tokens of trimmed text (array<string>).
+
+    NULL text coalesces to '' on BOTH engines (here and tokens_sql) —
+    otherwise Spark's legacy size(NULL) = -1 vs SQL NULL propagation
+    makes every token-derived column diverge for null rows."""
+    return F.split(F.trim(F.coalesce(col, F.lit(""))), WS_SPLIT)
 
 
 def tokens_sql(expr: str) -> str:
-    return f"regexp_split_to_array(trim({expr}), '{WS_SPLIT}')"
+    return f"regexp_split_to_array(trim(coalesce({expr}, '')), '{WS_SPLIT}')"
 
 
 def ws_token_count(col: Column) -> Column:
-    return F.when(F.trim(col) == "", F.lit(0)).otherwise(
+    return F.when(F.trim(F.coalesce(col, F.lit(""))) == "", F.lit(0)).otherwise(
         F.size(tokens(col))
     )
 
 
 def ws_token_count_sql(expr: str) -> str:
     return (
-        f"case when trim({expr}) = '' then 0 "
+        f"case when trim(coalesce({expr}, '')) = '' then 0 "
         f"else len({tokens_sql(expr)}) end"
     )
 
 
 def bpe_token_count(col: Column) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+    return F.size(
+        F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(BPE_TOKEN_RE), 0)
+    )
 
 
 def bpe_token_count_sql(expr: str) -> str:
-    return f"len(regexp_extract_all({expr}, '{BPE_TOKEN_RE}'))"
+    return f"len(regexp_extract_all(coalesce({expr}, ''), '{BPE_TOKEN_RE}'))"
 
 
 def shingles(tokens_col: Column, n: int = 3) -> Column:
@@ -95,29 +101,43 @@ def shingles_sql(tokens_ref: str, n: int = 3) -> str:
 
 def norm_fingerprint(col: Column) -> Column:
     """md5 of whitespace-normalized lowercase text — exact-dup key."""
-    return F.md5(F.regexp_replace(F.lower(F.trim(col)), WS_SPLIT, " "))
+    return F.md5(
+        F.regexp_replace(
+            F.lower(F.trim(F.coalesce(col, F.lit("")))), WS_SPLIT, " "
+        )
+    )
 
 
 def norm_fingerprint_sql(expr: str) -> str:
-    return f"md5(regexp_replace(lower(trim({expr})), '{WS_SPLIT}', ' ', 'g'))"
+    return (
+        f"md5(regexp_replace(lower(trim(coalesce({expr}, ''))), "
+        f"'{WS_SPLIT}', ' ', 'g'))"
+    )
 
 
 def rolling_hash(col: Column) -> Column:
-    """31-base rolling hash over the characters (document fingerprint).
+    """31-base rolling hash over the md5-prefix hashes of the whitespace
+    tokens (document fingerprint; left fold in token order).
 
-    Left fold in character order; chars via split-on-empty with empties
-    filtered (Java split yields trailing ''), codepoints via ascii()."""
-    chars = F.filter(F.split(col, ""), lambda c: c != "")
+    Token-level, not char-level: a char-level fold over split('') pairs
+    Spark's UTF-16 code units against DuckDB's code points, diverging on
+    non-BMP text; md5-prefix token hashes are verified engine-exact."""
+    from .hashing import md5_prefix_hash
+
+    hashes = F.transform(tokens(col), md5_prefix_hash)
     return F.aggregate(
-        chars,
+        hashes,
         F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % ROLLING_P,
+        lambda acc, h: (acc * 31 + h) % ROLLING_P,
     )
 
 
 def rolling_hash_sql(expr: str) -> str:
+    from .hashing import md5_prefix_hash_sql
+
+    h = md5_prefix_hash_sql("t")
     return (
         f"list_reduce(list_prepend(0::bigint, "
-        f"list_transform(string_split({expr}, ''), c -> ascii(c)::bigint)), "
-        f"(acc, c) -> (acc * 31 + c) % {ROLLING_P})"
+        f"list_transform({tokens_sql(expr)}, t -> {h})), "
+        f"(acc, h) -> (acc * 31 + h) % {ROLLING_P})"
     )

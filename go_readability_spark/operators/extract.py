@@ -93,14 +93,7 @@ def extract_batch_rows(
         try:
             t0 = time.perf_counter()
             html = spans_to_html(spans)
-            article, metrics = extract_with_metrics(
-                html,
-                ReadabilityOptions(
-                    char_threshold=opts.char_threshold,
-                    nb_top_candidates=opts.nb_top_candidates,
-                    forced_page_type=opts.forced_page_type,
-                ),
-            )
+            article, metrics = extract_with_metrics(html, opts)
             out.append(
                 {
                     "doc_id": doc_id,
@@ -302,14 +295,7 @@ def _make_arrow_fn(options: Optional[ReadabilityOptions], max_doc_bytes: int):
                                 else (texts[j] or "")
                                 for j in order
                             )
-                        article, m = extract_with_metrics(
-                            html,
-                            ReadabilityOptions(
-                                char_threshold=opts.char_threshold,
-                                nb_top_candidates=opts.nb_top_candidates,
-                                forced_page_type=opts.forced_page_type,
-                            ),
-                        )
+                        article, m = extract_with_metrics(html, opts)
                         spans_out = element_to_spans(article.root)
                         meta = {
                             "title": article.title,
@@ -395,20 +381,24 @@ def extract_documents(
     values are not comparable across modes. ``use_arrow=False`` selects
     the pandas-dict reference path (slower; kept for A/B — all paths are
     parity-tested)."""
+    if native_reassembly and not use_arrow:
+        raise ValueError(
+            "native_reassembly requires the arrow path (use_arrow=True)"
+        )
     df = with_doc_bytes(df)
     if repartition:
         num = num_partitions or df.sparkSession.sparkContext.defaultParallelism
         df = skew_partitioned(df, num)
-    if native_reassembly and use_arrow:
+    if native_reassembly:
         from ..plans.skew import with_reassembled_html
 
-        narrowed = with_reassembled_html(df).select(
-            "doc_id", "html", "doc_bytes"
-        )
-        return narrowed.mapInArrow(
-            _make_arrow_fn(options, max_doc_bytes), EXTRACTED_SCHEMA
-        )
-    narrowed = df.select("doc_id", "spans", "doc_bytes")
+        # max_doc_bytes passed through: over-cap docs are NULLed without
+        # being reassembled (the cap exists to avoid exactly that work)
+        narrowed = with_reassembled_html(
+            df, max_doc_bytes=max_doc_bytes
+        ).select("doc_id", "html", "doc_bytes")
+    else:
+        narrowed = df.select("doc_id", "spans", "doc_bytes")
     if use_arrow:
         return narrowed.mapInArrow(
             _make_arrow_fn(options, max_doc_bytes), EXTRACTED_SCHEMA

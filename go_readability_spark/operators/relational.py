@@ -26,10 +26,17 @@ def events_hourly(events: DataFrame) -> DataFrame:
     """Per (hour, event_type): counts, exact value sum, distinct users,
     and the sum of the JSON ``props.k`` field.
 
-    (hour_ts is epoch seconds — avoids cross-engine timestamp formatting.)
+    ``hour_ts`` is the formatted wall-clock hour: for naive parquet
+    timestamps this is session-timezone-INVARIANT (Spark interprets the
+    value in the session TZ and formats it back in the same TZ), so the
+    oracle comparison holds whatever session the caller built —
+    epoch-seconds output would shift with the session timezone.
     """
     return (
-        events.withColumn("hour_ts", F.unix_timestamp(F.date_trunc("hour", "ts")))
+        events.withColumn(
+            "hour_ts",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm"),
+        )
         .groupBy("hour_ts", "event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -50,12 +57,16 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFra
     max_session_events)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_sec = gap_minutes * 60
+    # cast-to-double keeps microsecond precision (unix_timestamp truncates
+    # to whole seconds; DuckDB's epoch() does not — gaps that land inside
+    # (gap, gap+1) seconds would otherwise diverge from the oracle).
+    # TIMESTAMP_NTZ can't cast straight to double; the intermediate
+    # timestamp cast adds a session-TZ offset that cancels in the gap.
+    ts_sec = F.col("ts").cast("timestamp").cast("double")
     with_new = events.withColumn(
         "new_session",
         F.when(
-            F.unix_timestamp("ts")
-            - F.unix_timestamp(F.lag("ts").over(w))
-            > gap_sec,
+            ts_sec - F.lag(ts_sec).over(w) > gap_sec,
             1,
         )
         .otherwise(0)

@@ -82,12 +82,7 @@ def _render_batches(options: Optional[ReadabilityOptions], max_doc_bytes: int):
                     if int(doc_bytes or 0) > max_doc_bytes:
                         raise ValueError(f"doc_bytes {doc_bytes} > cap")
                     article, _ = extract_with_metrics(
-                        spans_to_html(spans),
-                        ReadabilityOptions(
-                            char_threshold=opts.char_threshold,
-                            nb_top_candidates=opts.nb_top_candidates,
-                            forced_page_type=opts.forced_page_type,
-                        ),
+                        spans_to_html(spans), opts
                     )
                     row.update(render_article(article))
                 except Exception as exc:  # noqa: BLE001

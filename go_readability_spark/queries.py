@@ -21,7 +21,6 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions.hashing import (
-    HASH_P,
     band_hash_sql,
     md5_prefix_hash_sql,
     minhash_signature_sql,
@@ -220,9 +219,10 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Showcase composition: the full training-data pipeline in one plan.
 
     corpus → extraction → article text (native concat of output spans) →
-    quality profile + language ID (codegen) → exact-dedup keeper flag
-    (broadcast of the tiny keeper set). This is the chain a 100 TB
-    cleaning job runs; every stage is an operator tested individually."""
+    quality profile + language ID (row-wise codegen over the persisted
+    text) → exact-dedup keeper flag joined back via broadcast. text_df
+    is persisted: without it every consumer would re-run the extraction
+    UDF from scratch."""
     from .operators.textops import language_id, text_profile
 
     ext = extract_documents(corpus_df(spark, CORPUS_DOCS))
@@ -233,17 +233,14 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "concat_ws(' ', transform(filter(spans_out, s -> s.kind = 'text'),"
             " s -> s.text))"
         ).alias("text"),
-        F.col("elapsed_ms"),
-    )
-    profile = text_profile(text_df)
-    lang = language_id(text_df)
+    ).persist()
+    profile = text_profile(text_df).select("doc_id", "n_tokens", "quality")
+    lang = language_id(text_df).select("doc_id", "lang_pred")
     keepers = dedup_exact(text_df).select(
         F.col("keeper_id").alias("doc_id"), F.lit(True).alias("is_keeper")
     )
     return (
-        text_df.select("doc_id")
-        .join(profile, "doc_id")
-        .join(lang, "doc_id")
+        profile.join(lang, "doc_id")
         .join(F.broadcast(keepers), "doc_id", "left")
         .select(
             "doc_id",
@@ -570,7 +567,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EVENTS_HOURLY = """
-select epoch(date_trunc('hour', ts))::bigint hour_ts, event_type,
+select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') hour_ts, event_type,
   count(*)::bigint n_events,
   cast(sum(cast(value as decimal(18,2))) as double) value_sum,
   count(distinct user_id)::bigint n_users,
@@ -586,6 +583,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SESSIONIZE = """
 with e as (
   select user_id, event_id, ts,
+    -- epoch() keeps fractional seconds, mirroring Spark's
+    -- cast(ts as double)
     case when epoch(ts) - epoch(lag(ts) over
       (partition by user_id order by ts, event_id)) > 1800
       then 1 else 0 end new_session

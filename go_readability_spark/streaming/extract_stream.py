@@ -90,7 +90,7 @@ def stream_events_hourly(
             F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum"),
         )
         .select(
-            F.unix_timestamp("w.start").alias("hour_ts"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour_ts"),
             "event_type",
             "n_events",
             F.col("value_sum").cast("double").alias("value_sum"),
