@@ -56,21 +56,18 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFra
     ``gap_minutes``. Output: (user_id, n_sessions, n_events,
     max_session_events)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_sec = gap_minutes * 60
-    # cast-to-double keeps microsecond precision (unix_timestamp truncates
-    # to whole seconds; DuckDB's epoch() does not — gaps that land inside
-    # (gap, gap+1) seconds would otherwise diverge from the oracle).
-    # TIMESTAMP_NTZ can't cast straight to double; the intermediate
-    # timestamp cast adds a session-TZ offset that cancels in the gap.
-    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    gap_us = gap_minutes * 60 * 1_000_000
+    # microsecond-precision wall-clock gap via timestampdiff: DuckDB's
+    # epoch() difference is the naive wall-clock delta, and unix_timestamp
+    # would (a) truncate to whole seconds and (b) route NTZ values through
+    # the session timezone, shifting gaps that straddle a DST transition
+    gap = F.expr(
+        "timestampdiff(MICROSECOND, "
+        "lag(ts) over (partition by user_id order by ts, event_id), ts)"
+    )
     with_new = events.withColumn(
         "new_session",
-        F.when(
-            ts_sec - F.lag(ts_sec).over(w) > gap_sec,
-            1,
-        )
-        .otherwise(0)
-        .cast("int"),
+        F.when(gap > gap_us, 1).otherwise(0).cast("int"),
     ).withColumn(
         "session_id",
         F.sum("new_session").over(
