@@ -86,29 +86,28 @@ def _decode_features(media_ref: str, stub: bool) -> list[float]:
 def _feature_batches(stub: bool):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for rec in pdf.itertuples(index=False):
-                feats = _decode_features(rec.media_ref, stub)
-                rows.append(
-                    {
-                        "doc_id": rec.doc_id,
-                        "media_ref": rec.media_ref,
-                        "media_type": rec.media_type,
-                        "alt_text": rec.alt_text,
-                        "content_hash": int.from_bytes(
-                            hashlib.md5(
-                                (rec.media_ref or "").encode()
-                            ).digest()[:8],
-                            "big",
-                            signed=True,
-                        ),
-                        "feature_dim": FEATURE_DIM,
-                        "features": feats,
-                    }
-                )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields]
+            refs = pdf["media_ref"].tolist()
+            digests = [
+                hashlib.md5((r or "").encode("utf-8")).digest() for r in refs
+            ]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].tolist(),
+                    "media_ref": refs,
+                    "media_type": pdf["media_type"].tolist(),
+                    "alt_text": pdf["alt_text"].tolist(),
+                    "content_hash": [
+                        int.from_bytes(d[:8], "big", signed=True)
+                        for d in digests
+                    ],
+                    "feature_dim": FEATURE_DIM,
+                    "features": [
+                        _decode_features(r, stub) for r in refs
+                    ],
+                },
+                columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields],
             )
+            yield out
 
     return run
 
