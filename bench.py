@@ -50,7 +50,9 @@ def main() -> None:
     # Fixed 64-way layout regardless of the session's core count: the
     # file count caps scan/shuffle-map parallelism, and scaling runs at
     # different core counts must read the identical table.
-    corpus_path = f"/tmp/gr_bench_corpus_{n_bench}"
+    from go_readability_spark.corpus import CORPUS_VERSION
+
+    corpus_path = f"/tmp/gr_bench_corpus_{n_bench}_v{CORPUS_VERSION}"
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         corpus_df(spark, n_bench, giant_every=200, num_partitions=64).write.mode(
             "overwrite"

@@ -34,6 +34,11 @@ __all__ = [
 
 FIXTURE_001_PATH = "/root/reference/testdata/fixtures/001/source.html"
 
+# Bump whenever generation logic or populations change: cached bench
+# corpora on disk are keyed by (n_docs, CORPUS_VERSION) so stale data
+# can't silently survive a generator change.
+CORPUS_VERSION = 2
+
 _WORDS = (
     "analysis spark pipeline document content extraction reader article "
     "partition shuffle broadcast executor lineage checkpoint manifest "

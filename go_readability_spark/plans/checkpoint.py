@@ -49,6 +49,7 @@ __all__ = [
 MANIFEST_SCHEMA = StructType(
     [
         StructField("part", LongType(), nullable=False),
+        StructField("n_parts", LongType()),
         StructField("status", StringType()),
         StructField("n_docs", LongType()),
         StructField("n_errors", LongType()),
@@ -93,10 +94,12 @@ def _lineage_and_counts(extracted_part: DataFrame) -> dict:
 
 
 def mark_partition_done(
-    spark: SparkSession, manifest_dir: str, part: int, stats: dict
+    spark: SparkSession, manifest_dir: str, part: int, stats: dict,
+    n_parts: int = 0,
 ) -> None:
     row = {
         "part": int(part),
+        "n_parts": int(n_parts),
         "status": "done",
         "n_docs": int(stats.get("n_docs") or 0),
         "n_errors": int(stats.get("n_errors") or 0),
@@ -132,19 +135,52 @@ def run_checkpointed(
     from ..operators.extract import extract_documents
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    parts_df = with_part(documents, n_parts)
-    pending = resume_filter(parts_df, read_manifest(spark, manifest_dir))
-    pending_parts = [r["part"] for r in pending.select("part").distinct().collect()]
+    manifest = read_manifest(spark, manifest_dir)
+    # the part key is pmod(hash, n_parts): resuming with a DIFFERENT
+    # n_parts would anti-join new-scheme part ids against old-scheme done
+    # ids — silent loss AND duplication. Refuse instead.
+    prior = [
+        r["n_parts"]
+        for r in manifest.select("n_parts").distinct().collect()
+        if r["n_parts"]
+    ]
+    if prior and set(prior) != {n_parts}:
+        raise ValueError(
+            f"manifest at {manifest_dir} was written with n_parts={prior}; "
+            f"resume must use the same value (got {n_parts})"
+        )
 
-    for part in sorted(pending_parts):
-        slice_df = parts_df.filter(F.col("part") == part).drop("part")
-        extracted = extract_documents(
-            slice_df, options=options, num_partitions=num_partitions
-        ).withColumn("part", F.lit(int(part)))
-        extracted.write.mode("overwrite").partitionBy("part").parquet(out_dir)
-        stats = _lineage_and_counts(spark.read.parquet(out_dir).filter(
-            F.col("part") == part
-        ))
-        mark_partition_done(spark, manifest_dir, part, stats)
+    # persisted: the hash-derived part column prunes nothing at the scan,
+    # so without this every per-part filter would rescan the full input
+    parts_df = with_part(documents, n_parts).persist()
+    try:
+        pending = resume_filter(parts_df, manifest)
+        pending_parts = [
+            r["part"] for r in pending.select("part").distinct().collect()
+        ]
 
+        for part in sorted(pending_parts):
+            slice_df = parts_df.filter(F.col("part") == part).drop("part")
+            extracted = extract_documents(
+                slice_df, options=options, num_partitions=num_partitions
+            ).withColumn("part", F.lit(int(part)))
+            extracted.write.mode("overwrite").partitionBy("part").parquet(
+                out_dir
+            )
+            stats = _lineage_and_counts(
+                spark.read.parquet(out_dir).filter(F.col("part") == part)
+            )
+            mark_partition_done(
+                spark, manifest_dir, part, stats, n_parts=n_parts
+            )
+    finally:
+        parts_df.unpersist()
+
+    if not os.path.isdir(out_dir):
+        # nothing was ever written (empty input, or fully-done manifest
+        # with a cleaned output dir): return an empty result, not a crash
+        from ..schemas import EXTRACTED_SCHEMA
+
+        schema = EXTRACTED_SCHEMA.add("part", LongType())
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(out_dir)

@@ -36,12 +36,18 @@ GIANT_DOC_BYTES = 1 * 1024 * 1024
 # per-doc hard cutoff: above this the UDF emits an error row without parsing
 MAX_DOC_BYTES = 64 * 1024 * 1024
 
+# Counts ALL span payload bytes (text of every span + media_ref): the
+# reassembled document includes media placeholders built from alt text
+# and refs, so a media-heavy doc with little kind='text' content must
+# still trip the size cap and the giant isolation — scoping to
+# kind='text' only let such docs bypass both.
 # coalesce: a NULL spans array must yield doc_bytes 0, not NULL — a NULL
-# doc_bytes would fail BOTH split-union filters in skew_partitioned and
-# silently drop the row instead of producing an error row
+# doc_bytes would otherwise drop out of the partitioner's filters
+# instead of producing an error row.
 _DOC_BYTES_EXPR = (
-    "coalesce(aggregate(transform(filter({col}, s -> s.kind = 'text'), "
-    "s -> coalesce(octet_length(s.text), 0)), "
+    "coalesce(aggregate(transform({col}, "
+    "s -> coalesce(octet_length(s.text), 0) "
+    "+ coalesce(octet_length(s.media_ref), 0)), "
     "0L, (acc, x) -> acc + x), 0L)"
 )
 
@@ -137,31 +143,34 @@ def skew_partitioned(
     num_partitions: int,
     giant_bytes: int = GIANT_DOC_BYTES,
     giant_fanout: int = 4,
+    isolate_giants: bool = False,
 ) -> DataFrame:
     """Return df repartitioned so extraction tasks are size-balanced.
 
-    Two-way split (classic longest-processing-time-first shape):
+    Default: ONE scan, ONE shuffle — an explicit full-width
+    ``xxhash64(doc_id)`` salt hashed into ``num_partitions``. Millions of
+    distinct salt values give uniform partitions (a coarse modded salt
+    space hashed into N buckets is balls-into-bins lumpy); giants land
+    ~n_giants/num per partition and Arrow batching bounds their memory.
 
-    - **giants** (≥ ``giant_bytes``) are hash-spread over
-      ``num_partitions * giant_fanout`` partitions — at realistic giant
-      frequencies that is ~one giant per task, so the stage tail is one
-      giant's latency, and an Arrow batch never aggregates several
-      multi-MiB documents;
-    - **ordinary docs** are salted uniformly over ``num_partitions``.
-
-    The union lists the giant partitions FIRST: Spark schedules tasks in
-    partition order, so the heavy tasks start immediately and the small
-    ones pack in behind them instead of a giant landing last and running
-    alone at the end of the stage.
+    ``isolate_giants=True`` switches to the two-way split (giants in
+    their own ``num*giant_fanout`` partition set listed FIRST in the
+    union, so heavy tasks schedule before the small ones — LPT shape).
+    It buys a shorter stage tail when giants dominate, at the cost of
+    scanning the input twice (the union's two filters are separate
+    subplans) — measured ~neutral on the bench corpus, so the
+    single-scan plan is the default.
     """
     df = with_doc_bytes(df)
-    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(max(num_partitions * 4, 1)))
+    if not isolate_giants:
+        salted = df.withColumn("salt", F.xxhash64(F.col("doc_id")))
+        return salted.repartition(num_partitions, F.col("salt")).drop("salt")
     giants = df.filter(F.col("doc_bytes") >= giant_bytes).repartition(
         max(num_partitions * giant_fanout, 1), F.col("doc_id")
     )
     normals = (
         df.filter(F.col("doc_bytes") < giant_bytes)
-        .withColumn("salt", salt)
+        .withColumn("salt", F.xxhash64(F.col("doc_id")))
         .repartition(num_partitions, F.col("salt"))
         .drop("salt")
     )

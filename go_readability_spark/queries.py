@@ -97,7 +97,7 @@ def _spans_cte() -> str:
 with h as (select doc_id::varchar doc_id, {_HTML_SQL} html,
            (doc_id % {MEDIA_EVERY} = 0) has_media from documents),
 spans as (
-  select doc_id, html,
+  select doc_id, html, has_media,
     list_concat(
       list_transform(range(0, cast(ceil(length(html) / {CHUNK}.0) as int)),
         i -> struct_pack(kind := 'text',
@@ -328,9 +328,16 @@ ORACLE_DOC_BYTES = (
     _spans_cte()
     + """
 select doc_id, len(spans)::int n_spans,
-  strlen(html)::bigint doc_bytes,
-  (case when strlen(html) < 65536 then 0
-        when strlen(html) < 1048576 then 1 else 2 end)::int size_bucket
+  (strlen(html) + case when has_media
+     then strlen('figure for doc ' || doc_id)
+        + strlen('media://doc/' || doc_id) else 0 end)::bigint doc_bytes,
+  (case when strlen(html) + (case when has_media
+     then strlen('figure for doc ' || doc_id)
+        + strlen('media://doc/' || doc_id) else 0 end) < 65536 then 0
+        when strlen(html) + (case when has_media
+     then strlen('figure for doc ' || doc_id)
+        + strlen('media://doc/' || doc_id) else 0 end) < 1048576 then 1
+        else 2 end)::int size_bucket
 from spans
 """
 )

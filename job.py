@@ -43,14 +43,28 @@ def main(argv=None) -> int:
     from go_readability_spark.plans.checkpoint import run_checkpointed
     from go_readability_spark.readability.extract import ReadabilityOptions
 
-    # In production the session comes from spark-submit's conf; this
-    # builder only fills local-run defaults.
-    spark = SparkSession.builder.appName("gr-spark-extract").getOrCreate()
+    # In production the session comes from spark-submit's conf; these
+    # configs fill local-run defaults — notably the Arrow batch size,
+    # which must stay small for document-sized rows (plans/session.py).
+    spark = (
+        SparkSession.builder.appName("gr-spark-extract")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
     options = ReadabilityOptions(
         char_threshold=args.char_threshold, forced_page_type=args.page_type
     )
 
     if args.mode == "stream":
+        if "/" not in args.input and not os.path.exists(args.input):
+            print(
+                "error: --mode stream takes a parquet directory "
+                "(file-stream source); catalog table names are batch-only",
+                file=sys.stderr,
+            )
+            return 2
         from go_readability_spark.streaming import run_extract_stream
 
         query = run_extract_stream(

@@ -83,8 +83,8 @@ class TestExtractionParity:
         for row in rows:
             expected = sum(
                 len((s["text"] or "").encode("utf-8"))
+                + len((s["media_ref"] or "").encode("utf-8"))
                 for s in generate_doc(row["doc_id"])
-                if s["kind"] == "text"
             )
             assert row["doc_bytes"] == expected, row["doc_id"]
 
