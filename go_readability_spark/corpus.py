@@ -32,7 +32,19 @@ __all__ = [
     "FIXTURE_001_PATH",
 ]
 
-FIXTURE_001_PATH = "/root/reference/testdata/fixtures/001/source.html"
+# Vendored copy of the reference's CC BY-SA fixture (attribution in
+# tests/fixtures/001/ATTRIBUTION.md) — no runtime dependency on the
+# read-only reference checkout. Overridable for alternate corpora.
+FIXTURE_001_PATH = os.environ.get(
+    "SPARK_GRAFT_FIXTURE_001",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "fixtures",
+        "001",
+        "source.html",
+    ),
+)
 
 # Bump whenever generation logic or populations change: cached bench
 # corpora on disk are keyed by (n_docs, CORPUS_VERSION) so stale data

@@ -18,7 +18,7 @@ from go_readability_spark.readability import (
     to_html,
 )
 
-FIXTURE_001 = pathlib.Path("/root/reference/testdata/fixtures/001/source.html")
+FIXTURE_001 = pathlib.Path(__file__).parent / "fixtures" / "001" / "source.html"
 
 
 def test_extract_simple_article():
