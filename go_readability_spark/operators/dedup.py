@@ -30,11 +30,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.hashing import (
-    band_hash,
-    md5_prefix_hash,
-    minhash_signature_from_hashes,
-)
+from ..functions.hashing import band_hash, md5_prefix_hash
 from ..functions.text import norm_fingerprint, shingles, tokens
 
 __all__ = [
@@ -70,11 +66,24 @@ def _shingle_table(
     # rows are tiny, so AQE would otherwise coalesce them into one
     # partition and run ~2ms/doc of per-row compute on a single core.
     # An explicit numPartitions is exempt from AQE coalescing.
+    #
+    # Gram construction goes through pyspark.ml.feature.NGram (a JVM
+    # sliding-window closure) instead of the Catalyst higher-order
+    # `shingles()` expression: the HOF lambda is evaluated interpreted
+    # (~30 µs/gram measured — no whole-stage codegen inside lambdas),
+    # which made shingling the dominant cost of every dedup query.
+    # NGram + array_sort(array_distinct(...)) produces byte-identical
+    # shingle arrays (asserted by test_dedup_shingle_parity) ~10× faster.
+    from pyspark.ml.feature import NGram
+
     num = docs.sparkSession.sparkContext.defaultParallelism
     toks = docs.repartition(num).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
     )
-    return toks.select("doc_id", shingles(F.col("t"), n).alias("sh"))
+    grams = NGram(n=n, inputCol="t", outputCol="grams").transform(toks)
+    return grams.select(
+        "doc_id", F.array_sort(F.array_distinct("grams")).alias("sh")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -83,24 +92,36 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_df: Optional[int] = None,
+    max_df: Optional[int] = 1000,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard ≥ threshold.
 
     (doc_a, doc_b, jaccard) with doc_a < doc_b. Jaccard is an exact ratio
-    of integer counts — identical across engines. ``max_df`` drops
-    shingles occurring in more than that many docs (skew control; changes
-    results, so the oracle-checked query leaves it None)."""
-    # persisted: sizes + both join sides scan this (3 consumers); without
-    # it every consumer recomputes tokenization + shingling from the scan
+    of integer counts — identical across engines.
+
+    ``max_df`` (default 1000) drops stop-shingles occurring in more than
+    that many documents BEFORE the posting-list self-join; a shingle in d
+    docs emits O(d²) candidate pairs, so uncapped zipfian shingles make
+    the join quadratic at corpus scale (SCALE.md §jaccard). Sizes are
+    computed on the pruned sets, so the output is the exact Jaccard of
+    the pruned shingle-sets — the DuckDB oracle applies the identical
+    cap, keeping the default path hash-verified. Pass ``max_df=None``
+    for the textbook uncapped semantics (small corpora only)."""
+    # persisted + eagerly materialized: sizes + both join sides scan this
+    # (3 consumers); lazily-persisted plans race when consumers execute
+    # concurrently, each recomputing tokenization + shingling upstream
     sh = _shingle_table(docs, id_col, text_col, n).persist()
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    sh.count()
     exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
     if max_df is not None:
         freq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
         exploded = exploded.join(
             freq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
-        )
+        ).persist()
+        exploded.count()
+        sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    else:
+        sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
@@ -150,28 +171,41 @@ def minhash_lsh_candidates(
     No O(n²): one map pass for signatures, one union of ``bands``
     equi-joins on (band_hash). Empty shingle sets are dropped (their
     signature is undefined)."""
+    from ..functions.hashing import HASH_P, MINHASH_A, MINHASH_B
+
     rows_per_band = k // bands
-    # Materialize the per-shingle hashes as a real column before the k
-    # permutations: inside one projection Catalyst does not reliably CSE
-    # `transform(sh, md5(...))` across the k array_min() expressions, and
-    # recomputing md5 k× dominated the runtime.
-    hashed = (
-        _shingle_table(docs, id_col, text_col, n)
-        .filter(F.size("sh") > 0)
-        .withColumn("hs", F.transform(F.col("sh"), md5_prefix_hash))
-    )
-    sig = hashed.select(
-        "doc_id", minhash_signature_from_hashes(F.col("hs"), k).alias("sig")
+    # Signature via explode + hash-aggregate, NOT k × array_min(transform)
+    # in one projection: Catalyst evaluates higher-order-function lambdas
+    # interpreted (outside whole-stage codegen), which made the k
+    # permutations the dominant cost. Exploding to (doc_id, h) rows and
+    # taking k min() aggregates keeps every expression inside codegen and
+    # gets map-side partial aggregation for free. Docs with zero shingles
+    # drop out naturally (their signature is undefined).
+    hashed = _shingle_table(docs, id_col, text_col, n).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    ).select("doc_id", md5_prefix_hash(F.col("shingle")).alias("h"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % HASH_P).alias(f"m{i}")
+            for i in range(k)
+        ]
+    ).select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"),
     )
     # One band-hash array + posexplode = a single pass over the signatures
-    # (a per-band union would recompute the whole upstream plan per band);
-    # persisted because the self-join scans it twice.
+    # (a per-band union would recompute the whole upstream plan per band).
     band_arr = F.array(
         *[band_hash(F.col("sig"), b, rows_per_band) for b in range(bands)]
     )
     buckets = sig.select(
         "doc_id", F.posexplode(band_arr).alias("band", "bh")
     ).persist()
+    # Eagerly materialize before the self-join: with a lazy persist both
+    # join sides race and each computes the full upstream concurrently
+    # (measured as the driver-bench outlier in round 1). The count() is
+    # one cheap cached scan; the join below then reads memory only.
+    buckets.count()
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -72,6 +72,11 @@ CHUNK = 2048
 MEDIA_EVERY = 3
 NGRAM_N = 3
 JACCARD_T = 0.2
+# Stop-shingle document-frequency cap (dedup.ngram_jaccard_pairs default):
+# the posting-list self-join is O(df²) per shingle, so the cap is load-
+# bearing at corpus scale. The oracle applies the identical cap — the
+# capped (default) path is the hash-verified one.
+JACCARD_MAX_DF = 1000
 MINHASH_K = 16
 MINHASH_BANDS = 8
 SIMHASH_BITS = 16
@@ -376,15 +381,21 @@ from documents group by 1
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), NGRAM_N, JACCARD_T
+        load_table(spark, sf_dir, "documents"),
+        NGRAM_N,
+        JACCARD_T,
+        max_df=JACCARD_MAX_DF,
     )
 
 
 ORACLE_NGRAM_JACCARD = f"""
 with toks as (select doc_id, {tokens_sql('text')} t from documents),
 sh as (select doc_id, {shingles_sql('t', NGRAM_N)} sh from toks),
-sizes as (select doc_id, len(sh) n_sh from sh),
-ex as (select doc_id, unnest(sh) shingle from sh),
+ex0 as (select doc_id, unnest(sh) shingle from sh),
+kept as (select shingle from ex0 group by shingle
+         having count(*) <= {JACCARD_MAX_DF}),
+ex as (select ex0.* from ex0 join kept using (shingle)),
+sizes as (select doc_id, count(*) n_sh from ex group by doc_id),
 inter as (
   select a.doc_id doc_a, b.doc_id doc_b, count(*) n_inter
   from ex a join ex b on a.shingle = b.shingle and a.doc_id < b.doc_id

@@ -1,0 +1,96 @@
+"""Dedup operator tests: NGram shingle parity + minhash/jaccard sanity.
+
+The production gram builder is pyspark.ml.feature.NGram (JVM sliding
+window); `functions.text.shingles()` is the Catalyst reference
+formulation the DuckDB oracles mirror. These tests pin the two paths
+byte-identical so swapping the builder for speed (round 2) can never
+drift from the oracle semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_readability_spark.functions.text import shingles, tokens
+from go_readability_spark.operators.dedup import (
+    _shingle_table,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+)
+
+TEXTS = [
+    ("a", "the quick brown fox jumps over the lazy dog"),
+    ("b", "the quick brown fox jumps over the lazy cat"),
+    ("c", "completely different words entirely here now"),
+    ("d", "the quick brown fox jumps over the lazy dog"),  # dup of a
+    ("e", "short"),  # < n tokens -> empty shingles
+    ("f", ""),  # empty text
+    ("g", "  leading   and trailing   whitespace   everywhere  "),
+    ("h", "rep rep rep rep rep rep"),  # degenerate: 1 distinct shingle
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(TEXTS, ["doc_id", "text"])
+
+
+def test_ngram_shingles_match_reference_hof(spark, docs):
+    """NGram-built shingle table == the Catalyst shingles() reference."""
+    via_ngram = {
+        r["doc_id"]: r["sh"] for r in _shingle_table(docs, "doc_id", "text", 3).collect()
+    }
+    via_hof = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", shingles(tokens(F.col("text")), 3).alias("sh")
+        ).collect()
+    }
+    assert via_ngram == via_hof
+
+
+def test_ngram_shingles_match_on_corpus(spark):
+    """Same parity over the synthetic corpus population (real doc text)."""
+    from go_readability_spark.corpus import generate_corpus
+
+    rows = [
+        (doc_id, " ".join(s["text"] or "" for s in spans))
+        for doc_id, spans in generate_corpus(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = _shingle_table(docs, "doc_id", "text", 3).collect()
+    b = docs.select(
+        "doc_id", shingles(tokens(F.col("text")), 3).alias("sh")
+    ).collect()
+    assert {r["doc_id"]: r["sh"] for r in a} == {r["doc_id"]: r["sh"] for r in b}
+
+
+def test_minhash_exact_dups_hit_all_bands(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_bands_hit"]
+        for r in minhash_lsh_candidates(docs, n=3, k=16, bands=8).collect()
+    }
+    assert pairs[("a", "d")] == 8  # identical docs agree on every band
+    assert ("a", "c") not in pairs  # disjoint shingles share no bucket
+
+
+def test_jaccard_max_df_prunes_stop_shingles(spark):
+    # 5 docs all sharing one stop-shingle; only two of them are near-dups
+    rows = [
+        ("d1", "common stop shingle alpha beta gamma"),
+        ("d2", "common stop shingle delta epsilon zeta"),
+        ("d3", "common stop shingle eta theta iota"),
+        ("d4", "unique text one two three common stop shingle"),
+        ("d5", "unique text one two three common stop shingle"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # cap df at 4: 'common stop shingle' appears in 5 docs -> pruned
+    pruned = {
+        (r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs, 3, 0.9, max_df=4).collect()
+    }
+    assert ("d4", "d5") in pruned
+    assert all(p == ("d4", "d5") for p in pruned)
+    # uncapped path still reports every pair sharing the stop shingle
+    full = ngram_jaccard_pairs(docs, 3, 0.01, max_df=None).count()
+    assert full == 10  # all C(5,2) pairs share >= 1 shingle
