@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.vectors import cosine_similarity
 
-__all__ = ["ann_topk_bruteforce", "ann_topk_lsh", "lsh_bucket_col"]
+__all__ = [
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "lsh_bucket_col",
+    "lsh_bucket_sql",
+]
 
 
 def _query_vec(embeddings: DataFrame, query_id: int, id_col: str, vec_col: str):
@@ -82,6 +87,26 @@ def lsh_bucket_col(vec_col, n_planes: int, dim: int):
         )
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
+
+
+def lsh_bucket_sql(vec_expr: str, n_planes: int, dim: int) -> str:
+    """DuckDB fragment computing the identical sign-projection bucket.
+
+    Hyperplane weights are the same plan-time constants as
+    ``lsh_bucket_col`` (shared ``_hyperplanes``), emitted as literals;
+    the projection is a left fold in array order (list_reduce with a
+    prepended 0.0 — DuckDB's list_reduce takes no initial value), which
+    matches Spark's F.aggregate fold exactly, so the float sums are
+    bit-identical and the bucket ids agree."""
+    planes = _hyperplanes(n_planes, dim)
+    terms = []
+    for p, row in enumerate(planes):
+        lst = ", ".join(
+            f"{vec_expr}[{d + 1}]::double * {w!r}" for d, w in enumerate(row)
+        )
+        proj = f"list_reduce(list_prepend(0.0, [{lst}]), (acc, x) -> acc + x)"
+        terms.append(f"(case when {proj} >= 0 then {1 << p} else 0 end)")
+    return "(" + " + ".join(terms) + ")"
 
 
 def ann_topk_lsh(

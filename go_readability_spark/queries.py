@@ -191,8 +191,10 @@ def q_extract_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: stub feature extraction over corpus media."""
-    docs = corpus_df(spark, CORPUS_DOCS)
+    """Multimodal plumbing: stub feature extraction over the driver
+    documents reshaped as spans (so DuckDB can verify the md5-derived
+    features/content hashes against the same table)."""
+    docs = documents_as_spans_df(spark, sf_dir, CHUNK, MEDIA_EVERY)
     feats = media_features(docs, decode_stub=True)
     return feats.select(
         "doc_id",
@@ -200,24 +202,100 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_type",
         "content_hash",
         "feature_dim",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
     )
+
+
+# content_hash = signed big-endian int64 of md5(media_ref)[:8]; f0 = the
+# first stub feature byte / 255 at float32 then rounded — both derived
+# in SQL from the same md5 hex string the Python stub digests.
+_U63 = 1 << 63
+_U64 = 1 << 64
+ORACLE_MEDIA_FEATURES = f"""
+with m as (
+  select doc_id::varchar doc_id,
+    'media://doc/' || doc_id::varchar media_ref,
+    'doc' media_type
+  from documents where doc_id % {MEDIA_EVERY} = 0),
+h as (
+  select m.*, md5(media_ref) hx,
+    cast(concat('0x', substr(md5(media_ref), 1, 16)) as ubigint) x
+  from m)
+select doc_id, media_ref, media_type,
+  cast(cast(x as hugeint)
+       - (case when x >= {_U63}::ubigint then {_U64}::hugeint
+          else 0::hugeint end) as bigint) content_hash,
+  8 feature_dim,
+  round(cast(cast(cast(concat('0x', substr(hx, 1, 2)) as int) / 255.0
+    as real) as double), 6) f0
+from h
+"""
+
+
+ANN_LSH_PLANES = 4
+EMB_LSH_PLANES = 6
+EMB_DIM = 64
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN (bucket-pruned scan) — approximate, rows-only."""
+    """Scale-path ANN (bucket-pruned scan). The hyperplanes are
+    deterministic plan-time constants, so the DuckDB oracle recomputes
+    the identical buckets from literal weights."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_topk_lsh(emb, ANN_QUERY_ID, ANN_K)
+    return ann_topk_lsh(
+        emb, ANN_QUERY_ID, ANN_K, n_planes=ANN_LSH_PLANES, dim=EMB_DIM
+    )
+
+
+def _oracle_ann_topk_lsh() -> str:
+    from .operators.similarity import lsh_bucket_sql
+
+    bucket = lsh_bucket_sql("embedding", ANN_LSH_PLANES, EMB_DIM)
+    cos = cosine_similarity_sql("b.embedding", "q.qv")
+    probes = " or ".join(
+        ["b.bucket = q.qbucket"]
+        + [
+            f"b.bucket = xor(q.qbucket, {1 << p})"
+            for p in range(ANN_LSH_PLANES)
+        ]
+    )
+    return f"""
+with b as (select vec_id, embedding, {bucket} bucket from embeddings),
+q as (select embedding qv, bucket qbucket from b
+      where vec_id = {ANN_QUERY_ID})
+select b.vec_id::bigint vec_id, round({cos}, 6) cos
+from b, q
+where b.vec_id != {ANN_QUERY_ID} and ({probes})
+order by cos desc, vec_id
+limit {ANN_K}
+"""
 
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path embedding near-dup (bucketed LSH join) — approximate,
-    rows-only; the exact-block variant above carries the oracle."""
+    """Scale-path embedding near-dup (bucketed LSH join); bucket ids are
+    deterministic, so the oracle mirrors the bucket equi-join exactly."""
     from .operators.dedup import embedding_near_dups_lsh
 
     return embedding_near_dups_lsh(
-        load_table(spark, sf_dir, "embeddings"), EMB_NEAR_T
+        load_table(spark, sf_dir, "embeddings"),
+        EMB_NEAR_T,
+        n_planes=EMB_LSH_PLANES,
+        dim=EMB_DIM,
     )
+
+
+def _oracle_dedup_embedding_lsh() -> str:
+    from .operators.similarity import lsh_bucket_sql
+
+    bucket = lsh_bucket_sql("embedding", EMB_LSH_PLANES, EMB_DIM)
+    cos = cosine_similarity_sql("a.embedding", "b.embedding")
+    return f"""
+with bk as (select vec_id, embedding, {bucket} bucket from embeddings)
+select a.vec_id::bigint vec_a, b.vec_id::bigint vec_b,
+  round({cos}, 6) cos
+from bk a join bk b on a.bucket = b.bucket and a.vec_id < b.vec_id
+where round({cos}, 6) >= {EMB_NEAR_T}
+"""
 
 
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,6 +780,9 @@ ORACLES: dict[str, str] = {
     "span_reassembly": ORACLE_SPAN_REASSEMBLY,
     "doc_bytes_prepass": ORACLE_DOC_BYTES,
     "media_inventory": ORACLE_MEDIA_INVENTORY,
+    "media_features": ORACLE_MEDIA_FEATURES,
+    "ann_topk_lsh": _oracle_ann_topk_lsh(),
+    "dedup_embedding_lsh": _oracle_dedup_embedding_lsh(),
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": _oracle_minhash(),
