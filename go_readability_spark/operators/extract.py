@@ -59,20 +59,38 @@ def _row_for_error(doc_id: str, doc_bytes: int, error: str) -> dict:
     }
 
 
+_EMPTY_RENDER = {"html": "", "markdown": "", "text": "", "metadata_json": ""}
+
+
 def extract_batch_rows(
     doc_ids,
     spans_lists,
     doc_bytes_list,
     options: Optional[ReadabilityOptions] = None,
     max_doc_bytes: int = MAX_DOC_BYTES,
+    render: bool = False,
 ) -> list[dict]:
-    """Extract one Arrow batch; pure Python, testable without Spark."""
+    """Extract one Arrow batch; pure Python, testable without Spark.
+
+    ``render=True`` additionally produces the CLI sink formats (html /
+    markdown / text / metadata_json) from the SAME parsed article, so a
+    pipeline wanting extraction + renderings pays the parse+score UDF
+    once instead of twice (render.extract_and_render wraps this)."""
     # imported lazily so the module imports fast on the driver
     from ..readability.instrumented import extract_with_metrics
     from ..spans import element_to_spans, spans_to_html
 
+    if render:
+        from .render import render_article
+
     if sys.getrecursionlimit() < _RECURSION_LIMIT:
         sys.setrecursionlimit(_RECURSION_LIMIT)
+
+    def error_row(doc_id, doc_bytes, msg):
+        row = _row_for_error(doc_id, doc_bytes, msg)
+        if render:
+            row.update(_EMPTY_RENDER)
+        return row
 
     opts = options or ReadabilityOptions(forced_page_type="")
     out: list[dict] = []
@@ -81,11 +99,11 @@ def extract_batch_rows(
         if spans is None or any(
             s is None or s.get("offset") is None for s in spans
         ):
-            out.append(_row_for_error(doc_id, doc_bytes, "null spans"))
+            out.append(error_row(doc_id, doc_bytes, "null spans"))
             continue
         if doc_bytes > max_doc_bytes:
             out.append(
-                _row_for_error(
+                error_row(
                     doc_id, doc_bytes, f"doc_bytes {doc_bytes} > cap {max_doc_bytes}"
                 )
             )
@@ -96,6 +114,7 @@ def extract_batch_rows(
             article, metrics = extract_with_metrics(html, opts)
             out.append(
                 {
+                    **(render_article(article) if render else {}),
                     "doc_id": doc_id,
                     "spans_out": element_to_spans(article.root),
                     "meta": {
@@ -119,7 +138,7 @@ def extract_batch_rows(
             )
         except Exception as exc:  # noqa: BLE001 — never kill the job
             out.append(
-                _row_for_error(doc_id, doc_bytes, f"{type(exc).__name__}: {exc}")
+                error_row(doc_id, doc_bytes, f"{type(exc).__name__}: {exc}")
             )
     return out
 

@@ -21,7 +21,13 @@ from pyspark.sql.types import StringType, StructField, StructType
 from ..plans.skew import MAX_DOC_BYTES, skew_partitioned, with_doc_bytes
 from ..readability.extract import ReadabilityOptions
 
-__all__ = ["render_documents", "RENDERED_SCHEMA", "render_article"]
+__all__ = [
+    "render_documents",
+    "extract_and_render",
+    "RENDERED_SCHEMA",
+    "EXTRACTED_AND_RENDERED_SCHEMA",
+    "render_article",
+]
 
 RENDERED_SCHEMA = StructType(
     [
@@ -108,4 +114,57 @@ def render_documents(
     df = skew_partitioned(df, num)
     return df.select("doc_id", "spans", "doc_bytes").mapInPandas(
         _render_batches(options, max_doc_bytes), RENDERED_SCHEMA
+    )
+
+
+def _extracted_and_rendered_schema():
+    from ..schemas import EXTRACTED_SCHEMA
+
+    render_fields = [
+        StructField("html", StringType()),
+        StructField("markdown", StringType()),
+        StructField("text", StringType()),
+        StructField("metadata_json", StringType()),
+    ]
+    return StructType(list(EXTRACTED_SCHEMA.fields) + render_fields)
+
+
+EXTRACTED_AND_RENDERED_SCHEMA = _extracted_and_rendered_schema()
+
+
+def extract_and_render(
+    df: DataFrame,
+    options: Optional[ReadabilityOptions] = None,
+    num_partitions: Optional[int] = None,
+    max_doc_bytes: int = MAX_DOC_BYTES,
+) -> DataFrame:
+    """Extraction + CLI sink renderings in ONE UDF pass.
+
+    ``extract_documents(...)`` followed by ``render_documents(...)``
+    parses and scores every document twice; this variant renders from
+    the same parsed article inside the extraction batch loop
+    (extract.extract_batch_rows(render=True)), so pipelines that
+    materialize both the span output and the rendered formats pay the
+    readability core once. Output = EXTRACTED_SCHEMA columns + (html,
+    markdown, text, metadata_json); error rows carry empty renderings."""
+    from .extract import extract_batch_rows
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in EXTRACTED_AND_RENDERED_SCHEMA.fields]
+        for pdf in batches:
+            rows = extract_batch_rows(
+                pdf["doc_id"].tolist(),
+                pdf["spans"].tolist(),
+                pdf["doc_bytes"].tolist(),
+                options,
+                max_doc_bytes,
+                render=True,
+            )
+            yield pd.DataFrame(rows, columns=cols)
+
+    df = with_doc_bytes(df)
+    num = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    df = skew_partitioned(df, num)
+    return df.select("doc_id", "spans", "doc_bytes").mapInPandas(
+        run, EXTRACTED_AND_RENDERED_SCHEMA
     )

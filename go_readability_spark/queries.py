@@ -16,6 +16,7 @@ decimal growth) never shows in the schema.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -776,6 +777,38 @@ QUERIES: dict[str, QueryFn] = {
     "resume_antijoin": q_resume_antijoin,
 }
 
+# ---------------------------------------------------------------------------
+# Golden-parquet oracles (extraction family). The readability extraction
+# has no SQL form; instead the exact output at the driver's correctness
+# scale is pinned in committed parquet (tools/make_goldens.py) and the
+# oracle is a scan of it — the driver's rows/schema/hash comparison then
+# acts as a regression gate on the parser/scorer/span codec. These are
+# regression pins, not independent ground truth (the independent anchor
+# is the reference fixture-001 parity in tests/test_extract.py).
+# extract_driver_docs reads the sf tables, so its golden is only valid
+# at sf0.01 (the driver's correctness SF) — GOLDEN_SF_BOUND marks it.
+# ---------------------------------------------------------------------------
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "golden",
+)
+GOLDEN_ORACLE_QUERIES = (
+    "extract_driver_docs",
+    "extract_corpus",
+    "extract_spans_flat",
+    "extract_metrics_rollup",
+    "pipeline_clean_corpus",
+    "render_formats",
+)
+GOLDEN_SF_BOUND = frozenset({"extract_driver_docs"})
+
+
+def _golden_oracle(name: str) -> str:
+    path = os.path.join(_GOLDEN_DIR, f"{name}.parquet")
+    return f"select * from read_parquet('{path}')"
+
+
 ORACLES: dict[str, str] = {
     "span_reassembly": ORACLE_SPAN_REASSEMBLY,
     "doc_bytes_prepass": ORACLE_DOC_BYTES,
@@ -796,6 +829,7 @@ ORACLES: dict[str, str] = {
     "sessionize": ORACLE_SESSIONIZE,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "resume_antijoin": ORACLE_RESUME_ANTIJOIN,
+    **{name: _golden_oracle(name) for name in GOLDEN_ORACLE_QUERIES},
 }
 
 

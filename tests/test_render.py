@@ -68,3 +68,34 @@ class TestRenderSpark:
         got = rows[doc_id]
         assert json.loads(got["metadata_json"])["nodeCount"] == art.node_count
         assert got["markdown"] == render_article(art)["markdown"]
+
+    def test_extract_and_render_single_pass_parity(self, spark):
+        """Combined op == extract_documents ⨝ render_documents, one UDF."""
+        from go_readability_spark.operators.extract import extract_documents
+        from go_readability_spark.operators.render import (
+            extract_and_render,
+            render_documents,
+        )
+        from go_readability_spark.sources.tables import corpus_df
+
+        docs = corpus_df(spark, 12)
+        combined = {r["doc_id"]: r for r in extract_and_render(docs, num_partitions=2).collect()}
+        extracted = {r["doc_id"]: r for r in extract_documents(docs, num_partitions=2).collect()}
+        rendered = {r["doc_id"]: r for r in render_documents(docs, num_partitions=2).collect()}
+        assert set(combined) == set(extracted) == set(rendered)
+        for doc_id, row in combined.items():
+            e, r = extracted[doc_id], rendered[doc_id]
+            assert row["spans_out"] == e["spans_out"]
+            assert row["meta"] == e["meta"]
+            assert row["error"] == e["error"]
+            for col in ("html", "markdown", "text", "metadata_json"):
+                assert row[col] == r[col], (doc_id, col)
+
+    def test_extract_and_render_error_rows(self, spark):
+        from go_readability_spark.operators.render import extract_and_render
+        from go_readability_spark.schemas import DOCUMENTS_SCHEMA
+
+        bad = spark.createDataFrame([("bad-doc", None)], DOCUMENTS_SCHEMA)
+        row = extract_and_render(bad, num_partitions=1).collect()[0]
+        assert row["error"] == "null spans"
+        assert row["html"] == "" and row["markdown"] == ""

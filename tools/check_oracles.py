@@ -82,14 +82,21 @@ def main():
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    from go_readability_spark.queries import GOLDEN_SF_BOUND
+
     qs, oracles = queries(), oracle_sql()
+    at_golden_sf = sf_dir.rstrip("/").endswith("sf0.01")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
             df = fn(spark, sf_dir)
-            if name in oracles:
+            if name in GOLDEN_SF_BOUND and not at_golden_sf:
+                # golden pinned at the driver's correctness SF (sf0.01);
+                # at other scales only a rows-only check is meaningful
+                verdict = f"rows-only ({df.count()} rows; golden is sf0.01-bound)"
+            elif name in oracles:
                 verdict = compare(name, df, con, oracles[name])
             else:
                 verdict = f"rows-only ({df.count()} rows)"
