@@ -262,6 +262,11 @@ def _make_arrow_fn(options: Optional[ReadabilityOptions], max_doc_bytes: int):
                 texts = vals.field("text").to_pylist()
                 refs = vals.field("media_ref").to_pylist()
                 offs = vals.field("offset").to_pylist()
+                # struct-level validity: field() ignores it, so a null
+                # span struct whose child offset slot happens to hold a
+                # non-null value (possible in parquet from non-Spark
+                # writers) would otherwise bypass the null-spans check
+                struct_valids = vals.is_valid().to_pylist()
 
             n = len(doc_ids)
             metas, metricses, errors, elapsed = [], [], [], []
@@ -295,7 +300,7 @@ def _make_arrow_fn(options: Optional[ReadabilityOptions], max_doc_bytes: int):
                         # malformed entries: null span structs or null
                         # offsets → error row, matching the other paths
                         or any(
-                            offs[j] is None
+                            offs[j] is None or not struct_valids[j]
                             for j in range(offsets[i], offsets[i + 1])
                         )
                     )

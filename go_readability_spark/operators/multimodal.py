@@ -101,9 +101,15 @@ def _feature_batches(stub: bool):
                         for d in digests
                     ],
                     "feature_dim": FEATURE_DIM,
-                    "features": [
-                        _decode_features(r, stub) for r in refs
-                    ],
+                    # stub features come straight from the digests already
+                    # computed for content_hash (one md5 per ref, not two);
+                    # _decode_features remains the stub=False seam for a
+                    # real decoder
+                    "features": (
+                        [[b / 255.0 for b in d[:FEATURE_DIM]] for d in digests]
+                        if stub
+                        else [_decode_features(r, stub) for r in refs]
+                    ),
                 },
                 columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields],
             )

@@ -32,6 +32,12 @@ def main(argv=None) -> int:
     parser.add_argument("--manifest", required=True)
     parser.add_argument("--n-parts", type=int, default=64)
     parser.add_argument("--num-partitions", type=int, default=None)
+    parser.add_argument(
+        "--concurrency",
+        type=int,
+        default=4,
+        help="checkpoint partitions processed as concurrent Spark jobs",
+    )
     parser.add_argument("--char-threshold", type=int, default=500)
     parser.add_argument("--page-type", default="", help="forced page type ('' = classify)")
     parser.add_argument("--mode", choices=("batch", "stream"), default="batch")
@@ -92,6 +98,7 @@ def main(argv=None) -> int:
         n_parts=args.n_parts,
         options=options,
         num_partitions=args.num_partitions,
+        concurrency=args.concurrency,
     )
     rollup = metrics_rollup(result).collect()
     for row in rollup:

@@ -111,6 +111,45 @@ class TestErrorRows:
         assert rows[0]["error"] == "null spans"
         assert rows[1]["error"] is None
 
+    def test_arrow_path_null_struct_with_nonnull_children(self):
+        """A null span STRUCT whose child slots hold non-null garbage
+        (possible in Arrow batches from non-Spark writers) must become a
+        'null spans' error row, matching the pandas/JVM paths — struct-
+        level validity is separate from child validity and field()
+        ignores it."""
+        import pyarrow as pa
+
+        from go_readability_spark.operators.extract import _make_arrow_fn
+
+        span_t = pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+        # children all non-null; struct validity masks entry 1 as null
+        structs = pa.StructArray.from_arrays(
+            [
+                pa.array(["text", "text"]),
+                pa.array(["<p>one</p>", "<p>garbage</p>"]),
+                pa.array(["", ""]),
+                pa.array([0, 1], type=pa.int32()),
+            ],
+            fields=list(span_t),
+            mask=pa.array([False, True]),
+        )
+        spans = pa.ListArray.from_arrays(pa.array([0, 2], type=pa.int32()), structs)
+        assert structs.field("offset")[1].as_py() is not None  # the trap
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array(["doc-x"]), spans, pa.array([10], type=pa.int64())],
+            names=["doc_id", "spans", "doc_bytes"],
+        )
+        fn = _make_arrow_fn(None, 1 << 30)
+        out = list(fn(iter([batch])))[0]
+        assert out.column("error").to_pylist() == ["null spans"]
+
 
 class TestSkewPlan:
     def test_size_buckets(self, spark):
@@ -162,6 +201,46 @@ class TestCheckpointResume:
             spark, docs, out_dir, man_dir, n_parts=3, num_partitions=2
         )
         assert result2.count() == 12
+
+    def test_concurrent_parts_overlap_and_match_sequential(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """concurrency=4: same output + complete manifest as sequential,
+        with partitions actually processed from multiple driver threads
+        (concurrent Spark jobs), and a rerun resuming to zero pending."""
+        import threading
+
+        from go_readability_spark.plans import checkpoint as cp
+
+        out_dir = str(tmp_path / "out_c")
+        man_dir = str(tmp_path / "man_c")
+        docs = corpus_df(spark, 16)
+
+        threads_seen: set[int] = set()
+        orig_mark = cp.mark_partition_done
+
+        def spy_mark(*args, **kwargs):
+            threads_seen.add(threading.get_ident())
+            return orig_mark(*args, **kwargs)
+
+        monkeypatch.setattr(cp, "mark_partition_done", spy_mark)
+        result = cp.run_checkpointed(
+            spark, docs, out_dir, man_dir, n_parts=8, num_partitions=2,
+            concurrency=4,
+        )
+        assert result.count() == 16
+        manifest = read_manifest(spark, man_dir)
+        done = manifest.filter("status = 'done'").collect()
+        assert sum(r["n_docs"] for r in done) == 16
+        assert len(threads_seen) > 1  # jobs overlapped across pool threads
+        # rerun: all parts in manifest -> nothing pending, output stable
+        pending = resume_filter(with_part(docs, 8), manifest)
+        assert pending.count() == 0
+        result2 = cp.run_checkpointed(
+            spark, docs, out_dir, man_dir, n_parts=8, num_partitions=2,
+            concurrency=4,
+        )
+        assert result2.count() == 16
 
     def test_resume_antijoin_is_broadcast(self, spark):
         docs = with_part(corpus_df(spark, 8), 4)
