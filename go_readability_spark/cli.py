@@ -4,9 +4,9 @@
 Usage:
     python -m go_readability_spark.cli [--format html|markdown] [--metadata] [SOURCE]
 
-SOURCE is a file path, or ``-``/absent for stdin (≤1 GiB, main.go:86-94).
-HTTP sources (main.go:101-123) are intentionally unsupported here — this
-sandbox has no network; production would fetch upstream of the table.
+SOURCE is a file path, an http(s) URL (fetched like main.go:101-123;
+fails with exit 2 where no network exists, e.g. this sandbox), or
+``-``/absent for stdin (≤1 GiB, main.go:86-94).
 """
 
 from __future__ import annotations
@@ -14,8 +14,32 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from typing import Callable, Optional
 
 MAX_STDIN = 1 << 30  # 1 GiB cap, main.go:88
+
+# Injectable opener (tests / sandboxes without network). None → urllib.
+URL_OPENER: Optional[Callable] = None
+
+
+def fetch_url(url: str, max_bytes: int = MAX_STDIN) -> str:
+    """HTTP source (fetchContent, main.go:101-123): GET, require 200,
+    read the body. The opener is injectable via ``URL_OPENER``."""
+    if URL_OPENER is not None:
+        opener = URL_OPENER
+    else:
+        import urllib.request
+
+        def opener(u):
+            return urllib.request.urlopen(u, timeout=30)  # noqa: S310
+
+    with opener(url) as resp:
+        status = getattr(resp, "status", 200)
+        if status != 200:
+            raise RuntimeError(
+                f"HTTP request failed with status code: {status}"
+            )
+        return resp.read(max_bytes).decode("utf-8", "replace")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -37,13 +61,12 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
 
     if args.source.startswith(("http://", "https://")):
-        print(
-            "error: HTTP sources are not supported in this build",
-            file=sys.stderr,
-        )
-        return 2
-
-    if args.source == "-":
+        try:
+            html = fetch_url(args.source)
+        except Exception as exc:  # noqa: BLE001 — CLI boundary
+            print(f"error: failed to fetch URL: {exc}", file=sys.stderr)
+            return 2
+    elif args.source == "-":
         html = sys.stdin.buffer.read(MAX_STDIN).decode("utf-8", "replace")
     else:
         with open(args.source, encoding="utf-8", errors="replace") as f:

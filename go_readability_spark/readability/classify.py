@@ -24,6 +24,7 @@ __all__ = [
     "is_significant_node",
     "is_semantic_tag",
     "get_expected_page_type_by_url",
+    "analyze_url_pattern",
 ]
 
 PAGE_TYPE_ARTICLE = "article"
@@ -208,3 +209,25 @@ def get_expected_page_type_by_url(url: str) -> str:
     ):
         return PAGE_TYPE_ARTICLE
     return PAGE_TYPE_OTHER
+
+
+_ALPHA_ONLY = re.compile(r"^[a-zA-Z-_]+$")
+
+
+def analyze_url_pattern(url: str) -> str:
+    """Debug categorizer for a URL's last path segment
+    (classify.go:370-398). The return strings are the reference's
+    verbatim Japanese labels — kept byte-identical for parity."""
+    last_part = url.split("/")[-1]
+    last_part_no_ext = last_part.split(".")[0]
+    if last_part_no_ext == "":
+        return "末尾なし"
+    if _DIGIT_ONLY.match(last_part_no_ext):
+        return f"数字のみ ({last_part_no_ext})"
+    if _ALPHA_NUMERIC.match(last_part_no_ext) and _HAS_DIGIT.search(
+        last_part_no_ext
+    ):
+        return f"英数字混合 ({last_part_no_ext})"
+    if _ALPHA_ONLY.match(last_part_no_ext):
+        return f"英字のみ ({last_part_no_ext})"
+    return f"その他 ({last_part_no_ext})"

@@ -34,7 +34,13 @@ from html.parser import HTMLParser
 
 from .vdom import VDocument, VElement, VText
 
-__all__ = ["parse_html", "serialize_to_html", "serialize_document_to_html"]
+__all__ = [
+    "parse_html",
+    "serialize_to_html",
+    "serialize_document_to_html",
+    "serialize_to_writer",
+    "serialize_document_to_writer",
+]
 
 VOID_ELEMENTS = frozenset({
     "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
@@ -431,3 +437,15 @@ def serialize_document_to_html(doc: VDocument) -> str:
     if doc is None or doc.document_element is None:
         return ""
     return "<!DOCTYPE html>\n" + serialize_to_html(doc.document_element)
+
+
+def serialize_to_writer(node, writer) -> None:
+    """Write a node's HTML to a text file-like object (the io.Writer
+    sink, parser.go:216-219)."""
+    writer.write(serialize_to_html(node))
+
+
+def serialize_document_to_writer(doc: VDocument, writer) -> None:
+    """Write a document's HTML to a text file-like object
+    (parser.go:222-225)."""
+    writer.write(serialize_document_to_html(doc))

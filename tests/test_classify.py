@@ -109,3 +109,15 @@ def test_get_expected_page_type_by_url():
     assert get_expected_page_type_by_url("https://ex.com/post-2024.html") == PAGE_TYPE_ARTICLE
     assert get_expected_page_type_by_url("https://ex.com/") == PAGE_TYPE_OTHER
     assert get_expected_page_type_by_url("https://ex.com/about") == PAGE_TYPE_OTHER
+
+
+def test_analyze_url_pattern():
+    """classify.go:370-398 — verbatim Japanese debug labels."""
+    from go_readability_spark.readability.classify import analyze_url_pattern
+
+    assert analyze_url_pattern("https://ex.com/") == "末尾なし"
+    assert analyze_url_pattern("https://ex.com/12345") == "数字のみ (12345)"
+    assert analyze_url_pattern("https://ex.com/12345.html") == "数字のみ (12345)"
+    assert analyze_url_pattern("https://ex.com/post-2024") == "英数字混合 (post-2024)"
+    assert analyze_url_pattern("https://ex.com/about") == "英字のみ (about)"
+    assert analyze_url_pattern("https://ex.com/ページ") == "その他 (ページ)"

@@ -161,6 +161,30 @@ def test_serialize_sorted_attributes():
     assert serialize_to_html(e) == '<div alpha="2" zeta="1">t</div>'
 
 
+def test_serialize_to_writer_sinks():
+    """io.Writer sinks (parser.go:216-225) — file-like objects here."""
+    import io
+
+    from go_readability_spark.readability.parser import (
+        parse_html,
+        serialize_document_to_html,
+        serialize_document_to_writer,
+        serialize_to_writer,
+    )
+
+    e = VElement("div")
+    e.append_child(VText("hi"))
+    w = io.StringIO()
+    serialize_to_writer(e, w)
+    assert w.getvalue() == "<div>hi</div>"
+
+    doc = parse_html("<html><body><p>x</p></body></html>")
+    w2 = io.StringIO()
+    serialize_document_to_writer(doc, w2)
+    assert w2.getvalue() == serialize_document_to_html(doc)
+    assert w2.getvalue().startswith("<!DOCTYPE html>")
+
+
 def test_serialize_round_trip():
     """parser_test.go:214 TestRoundTrip — parse(serialize(parse(x)))
     is stable."""

@@ -46,10 +46,67 @@ class TestCli:
         assert main([str(path)]) == 0
         assert "<h1>" in capsys.readouterr().out
 
-    def test_http_refused(self, capsys):
+    def test_stdin_source(self, capsys, monkeypatch):
+        import io
+
         from go_readability_spark.cli import main
 
-        assert main(["http://example.com"]) == 2
+        html = spans_to_html(generate_doc("syn-article-000003"))
+
+        class FakeStdin:
+            buffer = io.BytesIO(html.encode("utf-8"))
+
+        monkeypatch.setattr("sys.stdin", FakeStdin)
+        assert main(["--metadata", "-"]) == 0
+        meta = json.loads(capsys.readouterr().out)
+        assert meta["title"].startswith("Deep Dive 3")
+
+    def test_http_source_via_injected_opener(self, capsys, monkeypatch):
+        """HTTP source (main.go:101-123) with the opener injected — the
+        sandbox has no network, but the fetch path itself is real."""
+        import contextlib
+        import io
+
+        from go_readability_spark import cli
+
+        html = spans_to_html(generate_doc("syn-article-000003"))
+
+        class FakeResp(io.BytesIO):
+            status = 200
+
+        @contextlib.contextmanager
+        def fake_opener(url):
+            assert url == "http://example.com/a"
+            yield FakeResp(html.encode("utf-8"))
+
+        monkeypatch.setattr(cli, "URL_OPENER", fake_opener)
+        assert cli.main(["--metadata", "http://example.com/a"]) == 0
+        meta = json.loads(capsys.readouterr().out)
+        assert meta["title"].startswith("Deep Dive 3")
+
+    def test_http_non_200_and_fetch_failure(self, capsys, monkeypatch):
+        import contextlib
+        import io
+
+        from go_readability_spark import cli
+
+        class Resp404(io.BytesIO):
+            status = 404
+
+        @contextlib.contextmanager
+        def opener_404(url):
+            yield Resp404(b"")
+
+        monkeypatch.setattr(cli, "URL_OPENER", opener_404)
+        assert cli.main(["http://example.com/x"]) == 2
+        assert "404" in capsys.readouterr().err
+
+        def opener_down(url):
+            raise OSError("network unreachable")
+
+        monkeypatch.setattr(cli, "URL_OPENER", opener_down)
+        assert cli.main(["http://example.com/x"]) == 2
+        assert "failed to fetch" in capsys.readouterr().err
 
 
 @pytest.mark.usefixtures("spark")
