@@ -62,19 +62,43 @@ P_CLOSERS = frozenset({
     "li", "xmp", "listing",
 })
 
-# tag -> set of open tags it implicitly closes (nearest-first search)
-SIBLING_CLOSERS: dict[str, frozenset[str]] = {
-    "li": frozenset({"li"}),
-    "dt": frozenset({"dt", "dd"}),
-    "dd": frozenset({"dt", "dd"}),
-    "tr": frozenset({"tr", "td", "th"}),
-    "td": frozenset({"td", "th"}),
-    "th": frozenset({"td", "th"}),
-    "thead": frozenset({"thead", "tbody", "tfoot", "tr", "td", "th"}),
-    "tbody": frozenset({"thead", "tbody", "tfoot", "tr", "td", "th"}),
-    "tfoot": frozenset({"thead", "tbody", "tfoot", "tr", "td", "th"}),
-    "option": frozenset({"option"}),
-    "optgroup": frozenset({"option", "optgroup"}),
+# tag -> ORDERED closer groups. The search walks the open stack once
+# (innermost-out, bounded by scope); the close happens at the match of
+# the EARLIEST group that matched, preferring its outermost match. The
+# ordering encodes HTML5's layered implied-ends: a <tr> start closes the
+# open ROW (which also pops an unclosed cell above it) when one exists,
+# and only falls back to closing a bare cell otherwise — a flat
+# nearest-match set closed just the cell and nested the new row inside
+# the old one (found by tools/parse_fuzz.py round 2).
+SIBLING_CLOSERS: dict[str, tuple[frozenset[str], ...]] = {
+    "li": (frozenset({"li"}),),
+    "dt": (frozenset({"dt", "dd"}),),
+    "dd": (frozenset({"dt", "dd"}),),
+    "tr": (frozenset({"tr"}), frozenset({"td", "th"})),
+    "td": (frozenset({"td", "th"}),),
+    "th": (frozenset({"td", "th"}),),
+    "thead": (
+        frozenset({"thead", "tbody", "tfoot"}),
+        frozenset({"tr"}),
+        frozenset({"td", "th"}),
+    ),
+    "tbody": (
+        frozenset({"thead", "tbody", "tfoot"}),
+        frozenset({"tr"}),
+        frozenset({"td", "th"}),
+    ),
+    "tfoot": (
+        frozenset({"thead", "tbody", "tfoot"}),
+        frozenset({"tr"}),
+        frozenset({"td", "th"}),
+    ),
+    "option": (frozenset({"option"}),),
+    "optgroup": (frozenset({"option", "optgroup"}),),
+    # HTML5 "in table" mode: a <table> start tag acts as </table> first.
+    # The td/th/caption scope boundaries keep legitimate nested tables
+    # (inside a cell) open — only a table started in row/table context
+    # (e.g. directly inside <tr>) closes the outer one.
+    "table": (frozenset({"table"}),),
 }
 
 # Elements that bound the implicit-close search (approximate HTML5 scopes)
@@ -86,8 +110,21 @@ SCOPE_BOUNDARIES = frozenset({
 # Per-tag additions to the boundary set: an <li> start tag closes an open
 # <li> only within "list item scope" (HTML5), i.e. the search must stop at
 # a nested <ul>/<ol> so inner lists don't close the outer item.
+# HTML5 "has an element in list item scope" is bounded by ul/ol; the
+# spec's generate-implied-ends walk for li/dt/dd additionally stops at
+# any "special" element other than address/div/p — approximated here by
+# the block-level set (a new <li> must not close a list item across an
+# intervening <section>/<blockquote>/heading boundary).
+_LI_SPECIAL_STOPS = frozenset({
+    "ul", "ol", "section", "article", "aside", "blockquote", "pre",
+    "h1", "h2", "h3", "h4", "h5", "h6", "nav", "header", "footer",
+    "main", "figure", "figcaption", "fieldset", "details", "summary",
+    "dl", "form", "hgroup", "menu",
+})
 SIBLING_SCOPE_EXTRA: dict[str, frozenset[str]] = {
-    "li": frozenset({"ul", "ol"}),
+    "li": _LI_SPECIAL_STOPS,
+    "dt": _LI_SPECIAL_STOPS,
+    "dd": _LI_SPECIAL_STOPS,
 }
 
 PRE_LIKE = frozenset({"pre", "textarea", "listing"})
@@ -160,17 +197,25 @@ class _TreeBuilder(HTMLParser):
                     break
                 if t in SCOPE_BOUNDARIES:
                     break
-        closers = SIBLING_CLOSERS.get(tag)
-        if closers:
+        groups = SIBLING_CLOSERS.get(tag)
+        if groups:
             boundaries = SCOPE_BOUNDARIES | SIBLING_SCOPE_EXTRA.get(
                 tag, frozenset()
             )
+            any_closer = frozenset().union(*groups)
+            # innermost match per group, scanned once out to the scope
+            # boundary; close at the earliest-priority group that matched
+            matches: dict[int, int] = {}
             for i in range(len(self.stack) - 1, 0, -1):
                 t = self.stack[i].tag_name
-                if t in closers:
-                    del self.stack[i:]
+                for g, group in enumerate(groups):
+                    if t in group and g not in matches:
+                        matches[g] = i
+                if t in boundaries and t not in any_closer:
                     break
-                if t in boundaries and t not in closers:
+            for g in range(len(groups)):
+                if g in matches:
+                    del self.stack[matches[g]:]
                     break
 
     # -- tokenizer callbacks -------------------------------------------

@@ -1,0 +1,93 @@
+"""Parse-robustness fuzz gate (tools/parse_fuzz.py, small fixed-seed run).
+
+Pins the adversarial-HTML campaign results so parser changes can't
+silently regress: zero crashes, zero span-sequence violations, and the
+serialize→reparse fixpoint holding for ≥96% of worst-case misnested
+soup (the residual tail is the formatting-reconstruction × foster-
+parenting interplay documented in PARSE_PARITY.md — full WHATWG
+dispatcher territory, deliberately out of subset scope)."""
+
+from __future__ import annotations
+
+import random
+
+from go_readability_spark.readability.parser import (
+    parse_html,
+    serialize_document_to_html,
+    serialize_to_html,
+)
+
+from tools.parse_fuzz import gen_doc, span_sequence
+
+N_DOCS = 400
+SEED = 1234
+MAX_FIXPOINT_VIOLATION_RATE = 0.04
+
+
+def test_fuzz_campaign_invariants():
+    rng = random.Random(SEED)
+    fixpoint_violations = 0
+    for _ in range(N_DOCS):
+        html = gen_doc(rng)
+        s1 = serialize_document_to_html(parse_html(html))  # never raises
+        s2 = serialize_document_to_html(parse_html(s1))
+        if s1 != s2:
+            fixpoint_violations += 1
+        seq = span_sequence(html)  # never raises
+        orders = [t[0] for t in seq]
+        assert orders == list(range(len(orders)))
+        assert all(t[1] in ("text", "media") for t in seq)
+    assert fixpoint_violations <= N_DOCS * MAX_FIXPOINT_VIOLATION_RATE
+
+
+def test_tr_start_closes_open_row():
+    """Found by fuzz round 2: a <tr> while an unclosed cell is open must
+    close the whole row (HTML5 implied ends), not just the cell."""
+    cases = {
+        "<table><tr><td>a<tr><td>b</table>":
+            "<table><tr><td>a</td></tr><tr><td>b</td></tr></table>",
+        "<table><tr><td>a</td><td>b<tr><td>c</table>":
+            "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td></tr></table>",
+        "<table><tbody><tr><td>a<tbody><tr><td>b</table>":
+            "<table><tbody><tr><td>a</td></tr></tbody>"
+            "<tbody><tr><td>b</td></tr></tbody></table>",
+    }
+    for src, want_body in cases.items():
+        got = serialize_document_to_html(parse_html(src))
+        assert f"<body>{want_body}</body>" in got, src
+
+
+def test_table_start_closes_open_table_but_not_in_cell():
+    """<table> in row/table context acts as </table> first; a table
+    inside a CELL stays nested (td bounds the scope search)."""
+    got = serialize_document_to_html(
+        parse_html("<table><tr><td>a</td><table><tr><td>b</table>")
+    )
+    assert (
+        "<table><tr><td>a</td></tr></table>"
+        "<table><tr><td>b</td></tr></table>" in got
+    )
+    nested = serialize_document_to_html(
+        parse_html("<table><tr><td><table><tr><td>x</table></td></tr></table>")
+    )
+    assert "<td><table><tr><td>x</td></tr></table></td>" in nested
+
+
+def test_li_does_not_close_across_special_boundary():
+    """A new <li> must not close a list item through an intervening
+    special element (here <section>) — HTML5 generate-implied-ends."""
+    got = serialize_document_to_html(
+        parse_html("<ul><li>a<section><li>b</section></li></ul>")
+    )
+    assert "<li>a<section><li>b</li></section></li>" in got
+
+
+def test_script_text_escaped_like_reference():
+    """The REFERENCE serializer escapes script text like any text node
+    (parser.go:134-136) even though script content parses as raw text —
+    we match that byte-for-byte (parity over spec), which makes
+    serialize→reparse of entity-bearing script content deliberately
+    non-idempotent. Pinned so nobody 'fixes' it away from parity."""
+    doc = parse_html("<script>var a = '<p>';</script>")
+    out = serialize_to_html(doc.document_element)
+    assert "var a = &#39;&lt;p&gt;&#39;;" in out
