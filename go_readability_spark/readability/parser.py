@@ -101,6 +101,11 @@ SIBLING_CLOSERS: dict[str, tuple[frozenset[str], ...]] = {
     "table": (frozenset({"table"}),),
 }
 
+# per-tag union of its closer groups, precomputed off the hot path
+_SIBLING_ANY: dict[str, frozenset[str]] = {
+    tag: frozenset().union(*groups) for tag, groups in SIBLING_CLOSERS.items()
+}
+
 # Elements that bound the implicit-close search (approximate HTML5 scopes)
 SCOPE_BOUNDARIES = frozenset({
     "html", "body", "table", "td", "th", "caption", "template", "applet",
@@ -199,19 +204,23 @@ class _TreeBuilder(HTMLParser):
                     break
         groups = SIBLING_CLOSERS.get(tag)
         if groups:
-            boundaries = SCOPE_BOUNDARIES | SIBLING_SCOPE_EXTRA.get(
-                tag, frozenset()
-            )
-            any_closer = frozenset().union(*groups)
+            any_closer = _SIBLING_ANY[tag]
+            extra = SIBLING_SCOPE_EXTRA.get(tag)
             # innermost match per group, scanned once out to the scope
             # boundary; close at the earliest-priority group that matched
+            # (the scan stops early when the top-priority group matches —
+            # its first, i.e. innermost, hit always wins)
             matches: dict[int, int] = {}
             for i in range(len(self.stack) - 1, 0, -1):
                 t = self.stack[i].tag_name
                 for g, group in enumerate(groups):
                     if t in group and g not in matches:
                         matches[g] = i
-                if t in boundaries and t not in any_closer:
+                if 0 in matches:
+                    break
+                if t not in any_closer and (
+                    t in SCOPE_BOUNDARIES or (extra and t in extra)
+                ):
                     break
             for g in range(len(groups)):
                 if g in matches:
