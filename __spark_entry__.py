@@ -5,7 +5,13 @@ reshaped into the north-rule interleaved spans schema.
 ``queries()`` / ``oracle_sql()`` — operator registry with DuckDB oracles
 (go_readability_spark/queries.py; formulas shared between engines via
 go_readability_spark/functions/*). Extraction-family queries are
-non-SQL-expressible (the readability algorithm) → rows-only checks.
+non-SQL-expressible (the readability algorithm); their oracles are
+committed golden-parquet regression pins generated at THE DRIVER'S
+CORRECTNESS SCALE, sf0.01 (tools/make_goldens.py). Of those, only
+extract_driver_docs reads the sf tables, so its oracle is valid at
+sf0.01 exclusively — evaluating the exported oracles at another SF must
+skip it (queries.GOLDEN_SF_BOUND marks it; tools/check_oracles.py
+demonstrates the guard). The corpus-based goldens are sf-independent.
 """
 
 from __future__ import annotations

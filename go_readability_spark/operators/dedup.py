@@ -31,7 +31,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.hashing import band_hash, md5_prefix_hash
-from ..functions.text import norm_fingerprint, shingles, tokens
+from ..functions.text import norm_fingerprint, tokens
 
 __all__ = [
     "dedup_exact",

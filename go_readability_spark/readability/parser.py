@@ -63,8 +63,8 @@ P_CLOSERS = frozenset({
 })
 
 # tag -> ORDERED closer groups. The search walks the open stack once
-# (innermost-out, bounded by scope); the close happens at the match of
-# the EARLIEST group that matched, preferring its outermost match. The
+# (innermost-out, bounded by scope); the close happens at the INNERMOST
+# match of the earliest-priority group that matched anywhere in scope. The
 # ordering encodes HTML5's layered implied-ends: a <tr> start closes the
 # open ROW (which also pops an unclosed cell above it) when one exists,
 # and only falls back to closing a bare cell otherwise — a flat
@@ -275,15 +275,6 @@ class _TreeBuilder(HTMLParser):
                 self.pending_format.clear()
             else:
                 self._materialize_pending()
-
-        # a <table> start while still in table context closes the open
-        # table first — the new table becomes its SIBLING (HTML5 "in
-        # table" handling of a table token), never a child of <tr>
-        if tag == "table" and self._current().tag_name in _TABLE_CONTEXT:
-            for i in range(len(self.stack) - 1, 0, -1):
-                if self.stack[i].tag_name == "table":
-                    del self.stack[i:]
-                    break
 
         # implicit closes run BEFORE the foster check so that a tag which
         # closes a fostered element (e.g. the second <p> of

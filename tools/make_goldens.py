@@ -28,14 +28,6 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 GOLDEN_SF_DIR = "/root/testdata/sf0.01"
-GOLDEN_QUERIES = [
-    "extract_driver_docs",  # the only sf-dependent one (pinned at sf0.01)
-    "extract_corpus",
-    "extract_spans_flat",
-    "extract_metrics_rollup",
-    "pipeline_clean_corpus",
-    "render_formats",
-]
 
 
 def golden_dir() -> str:
@@ -48,14 +40,16 @@ def golden_dir() -> str:
 
 def main() -> None:
     from go_readability_spark.plans.session import get_spark
-    from go_readability_spark.queries import queries
+    # single source of truth: the generator list IS the oracle-
+    # registration list, so the two can't drift
+    from go_readability_spark.queries import GOLDEN_ORACLE_QUERIES, queries
 
     out_dir = golden_dir()
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="make-goldens", cores=8)
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
-    for name in GOLDEN_QUERIES:
+    for name in GOLDEN_ORACLE_QUERIES:
         df = qs[name](spark, GOLDEN_SF_DIR)
         with tempfile.TemporaryDirectory() as tmp:
             tgt = os.path.join(tmp, name)

@@ -167,6 +167,7 @@ def main() -> int:
     }
     failures = []
     go_diffs = 0
+    go_errors = 0
     for i in range(args.n_docs):
         html = gen_doc(rng)
         try:
@@ -191,17 +192,41 @@ def main() -> int:
             stats["extract_errors"] += 1
             failures.append({"i": i, "kind": "extract", "err": str(exc), "html": html})
         if args.go_binary:
-            ours = s1
-            ref = subprocess.run(
-                [args.go_binary, "--format", "html", "-"],
+            # Compare like-for-like artifacts: the reference CLI emits
+            # the EXTRACTED ARTICLE as clean HTML (readability.ToHTML,
+            # cmd/readability/main.go:70), so render ours the same way.
+            # No positional arg → the Go CLI reads stdin (main.go:86-94;
+            # '-' would be treated as a file path and fatal out).
+            from go_readability_spark.readability import (
+                ReadabilityOptions,
+                extract,
+            )
+            from go_readability_spark.readability.fmt import to_html
+
+            ours = to_html(
+                extract(
+                    html,
+                    ReadabilityOptions(forced_page_type=""),
+                ).root
+            )
+            proc = subprocess.run(
+                [args.go_binary, "--format", "html"],
                 input=html.encode(),
                 capture_output=True,
                 check=False,
-            ).stdout.decode("utf-8", "replace")
-            if ref.strip() and ours.strip() != ref.strip():
+            )
+            ref = proc.stdout.decode("utf-8", "replace")
+            if proc.returncode != 0:
+                go_errors += 1
+            elif ours.strip() != ref.strip():
                 go_diffs += 1
+                failures.append(
+                    {"i": i, "kind": "go_diff", "html": html,
+                     "ours": ours, "ref": ref}
+                )
     if args.go_binary:
         stats["go_diffs"] = go_diffs
+        stats["go_errors"] = go_errors
     if args.dump_failures and failures:
         with open(args.dump_failures, "w") as f:
             for row in failures:

@@ -10,7 +10,9 @@ two parallelism levels — local[8] and local[32] — in separate processes
 Writes/updates the "Measured scaling" section consumed by BENCH.md and
 prints one JSON line.
 
-Usage: python tools/scaling_bench.py [n_docs]
+Usage: python tools/scaling_bench.py [n_docs] [--pair N 4N]
+(default pair 8 32; --pair 4 16 and --pair 2 8 widen the evidence base
+away from the 32-thread shared-JVM ceiling — see BENCH.md)
 """
 
 from __future__ import annotations
@@ -43,9 +45,15 @@ def run_bench(cpus: int, n_docs: int) -> dict:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
+    args = [a for a in sys.argv[1:]]
+    lo, hi = 8, 32
+    if "--pair" in args:
+        i = args.index("--pair")
+        lo, hi = int(args[i + 1]), int(args[i + 2])
+        del args[i : i + 3]
+    n_docs = int(args[0]) if args else 12000
     results = {}
-    for cpus in (8, 32):
+    for cpus in (lo, hi):
         r = run_bench(cpus, n_docs)
         results[cpus] = r
         print(
@@ -53,18 +61,18 @@ def main() -> None:
             f"{r['extraction']['mb_per_sec']} MB/s, wall {r['value']}s",
             file=sys.stderr,
         )
-    t8 = results[8]["extraction"]["docs_per_sec"]
-    t32 = results[32]["extraction"]["docs_per_sec"]
-    eff = (t32 / t8) / 4.0
+    t_lo = results[lo]["extraction"]["docs_per_sec"]
+    t_hi = results[hi]["extraction"]["docs_per_sec"]
+    eff = (t_hi / t_lo) / (hi / lo)
     summary = {
         "n_docs": n_docs,
-        "local8_docs_per_sec": t8,
-        "local32_docs_per_sec": t32,
-        "local8_wall_sec": results[8]["value"],
-        "local32_wall_sec": results[32]["value"],
-        "local8_mb_per_sec": results[8]["extraction"]["mb_per_sec"],
-        "local32_mb_per_sec": results[32]["extraction"]["mb_per_sec"],
-        "scaling_efficiency_8_to_32": round(eff, 3),
+        f"local{lo}_docs_per_sec": t_lo,
+        f"local{hi}_docs_per_sec": t_hi,
+        f"local{lo}_wall_sec": results[lo]["value"],
+        f"local{hi}_wall_sec": results[hi]["value"],
+        f"local{lo}_mb_per_sec": results[lo]["extraction"]["mb_per_sec"],
+        f"local{hi}_mb_per_sec": results[hi]["extraction"]["mb_per_sec"],
+        f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
     }
     print(json.dumps(summary))
 
