@@ -9,4 +9,5 @@ from .extract_stream import (  # noqa: F401
     extract_stream,
     run_extract_stream,
     stream_events_hourly,
+    stream_sessionize,
 )

@@ -95,3 +95,81 @@ class TestEventsWindowed:
         assert got
         for key, val in got.items():
             assert batch[key] == val
+
+
+class TestStatefulSessionize:
+    def test_stream_sessionize_stateful(self, spark, tmp_path):
+        """applyInPandasWithState sessionization: in-batch gap closures
+        emit immediately; the trailing open session closes via the
+        EVENT-TIME timeout once a later drain advances the watermark."""
+        import datetime as dt
+
+        from go_readability_spark.streaming import stream_sessionize
+
+        inp = str(tmp_path / "sess_in")
+        out = str(tmp_path / "sess_out")
+        ckpt = str(tmp_path / "sess_ckpt")
+        base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+        def ev(eid, minutes, user):
+            return (
+                eid,
+                base + dt.timedelta(minutes=minutes),
+                user,
+                "click",
+                1.0,
+                "{}",
+            )
+
+        ddl = (
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        # user 1: two bursts separated by 90 min (> 30-min gap) -> the
+        # first session closes IN-batch; user 2: one burst
+        batch1 = [
+            ev(1, 0, 1), ev(2, 5, 1), ev(3, 10, 1),
+            ev(4, 100, 1), ev(5, 105, 1),
+            ev(6, 0, 2), ev(7, 20, 2),
+        ]
+        spark.createDataFrame(batch1, ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+        def drain():
+            q = (
+                stream_sessionize(spark, inp, gap_minutes=30, watermark="10 minutes")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        drain()
+        rows = {
+            (r["user_id"], r["session_start"].minute, r["n_events"])
+            for r in spark.read.parquet(out).collect()
+        }
+        # user 1's first burst closed IN-batch; availableNow then runs a
+        # no-data batch with the watermark at max_ts - 10min (minute 95),
+        # which fires user 2's event-time timeout (20' + 30' gap = 50').
+        # User 1's second session (timeout minute 135) stays open.
+        assert rows == {(1, 0, 3), (2, 0, 2)}
+
+        # a much later event advances the watermark past every open
+        # session's timeout -> user 1's second session and user 2's
+        # session close via hasTimedOut; the new event opens fresh state
+        spark.createDataFrame([ev(8, 600, 3)], ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        drain()
+        rows = {
+            (r["user_id"], r["session_start"].minute, r["n_events"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert (1, 40, 2) in rows  # 100 min = 1h40 -> minute 40
+        assert (2, 0, 2) in rows
+        assert len(rows) == 3  # user 3's session still open (no output)
