@@ -85,18 +85,30 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     if not skip_queries:
+        # min of 2 runs per query: the sandbox's bursty external CPU
+        # interference can inflate a single run several-fold (round 1
+        # recorded one query at 15x its quiet-window cost); the minimum
+        # is the standard robust estimator under asymmetric noise
+        q_repeats = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "2"))
         for name, fn in queries().items():
-            t = time.time()
-            try:
-                fn(spark, sf_dir).count()
-                timings[name] = round(time.time() - t, 3)
-            except Exception as exc:  # noqa: BLE001
-                timings[name] = -1.0
-                print(f"# query {name} failed: {exc}", file=sys.stderr)
-            # operators persist intermediates (shingles, LSH buckets,
-            # pipeline text) scoped to their own execution — release
-            # them so the loop's storage footprint stays bounded
-            spark.catalog.clearCache()
+            best = None
+            for _ in range(max(q_repeats, 1)):
+                t = time.time()
+                try:
+                    fn(spark, sf_dir).count()
+                    el = round(time.time() - t, 3)
+                    best = el if best is None else min(best, el)
+                except Exception as exc:  # noqa: BLE001
+                    best = -1.0
+                    print(f"# query {name} failed: {exc}", file=sys.stderr)
+                    break
+                finally:
+                    # operators persist intermediates (shingles, LSH
+                    # buckets, pipeline text) scoped to their own
+                    # execution — release them so the loop's storage
+                    # footprint stays bounded and repeats start cold
+                    spark.catalog.clearCache()
+            timings[name] = best
 
     result = {
         "metric": "extraction_wall_sec",

@@ -16,7 +16,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-__all__ = ["dot", "dot_sql", "cosine_similarity", "cosine_similarity_sql"]
+__all__ = [
+    "dot",
+    "dot_sql",
+    "cosine_similarity",
+    "cosine_similarity_sql",
+    "l2sq",
+    "l2sq_sql",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -32,6 +39,30 @@ def dot_sql(a: str, b: str) -> str:
         f"list_reduce(list_prepend(0.0::double, "
         f"list_transform(range(1, len({a}) + 1), "
         f"i -> {a}[i]::double * {b}[i]::double)), (acc, x) -> acc + x)"
+    )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance, left fold in array order (cross-engine
+    bit-identical with ``l2sq_sql``)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2sq_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::double, "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i]::double - {b}[i]::double) "
+        f"* ({a}[i]::double - {b}[i]::double))), (acc, x) -> acc + x)"
     )
 
 

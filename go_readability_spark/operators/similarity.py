@@ -23,6 +23,7 @@ from ..functions.vectors import cosine_similarity
 __all__ = [
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "lsh_bucket_col",
     "lsh_bucket_sql",
 ]
@@ -144,6 +145,94 @@ def ann_topk_lsh(
         joined = joined.filter(F.col("bucket") == F.col("qbucket"))
     return (
         joined.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("qv")), 6
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF-flat: coarse-quantize every vector to
+    its nearest codebook centroid, probe only the ``nprobe`` cells
+    nearest the query, exact-cosine rerank inside them.
+
+    The codebook here is the deterministic seed variant (the embeddings
+    of ``vec_id < n_centroids``) — at production scale it would be a
+    k-means codebook trained offline; the PLAN is identical either way:
+    the codebook is driver-tiny (K × dim floats), ships as literals in a
+    map-only assignment expression (at ingest the cell id would be a
+    stored, partition-prunable column), and the probe is an equi-filter
+    that prunes (K - nprobe)/K of the corpus before the exact rerank.
+    Assignment argmin is array_min over (distance, cid) structs —
+    lexicographic, ties to the smaller cid — with squared-L2 folded in
+    array order so the DuckDB oracle reproduces it bit-for-bit.
+    """
+    from ..functions.vectors import cosine_similarity, l2sq
+
+    cents = sorted(
+        (
+            int(r["cid"]),
+            [float(x) for x in r["cvec"]],
+        )
+        for r in embeddings.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+
+    def assign(vec):
+        entries = [
+            F.struct(
+                l2sq(
+                    vec, F.array(*[F.lit(x) for x in cvec])
+                ).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in cents
+        ]
+        return F.array_min(F.array(*entries))["cid"]
+
+    # the query's nprobe nearest cells, computed with the IDENTICAL
+    # left-fold double arithmetic (python floats are the same doubles)
+    qvec = [
+        float(x)
+        for x in embeddings.filter(F.col(id_col) == query_id)
+        .select(vec_col)
+        .collect()[0][0]
+    ]
+
+    def py_l2sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    probe_cids = [
+        cid
+        for _, cid in sorted(
+            (py_l2sq(qvec, cvec), cid) for cid, cvec in cents
+        )[:nprobe]
+    ]
+
+    qv = _query_vec(embeddings, query_id, id_col, vec_col)
+    assigned = embeddings.withColumn("cid", assign(F.col(vec_col)))
+    return (
+        assigned.filter(
+            F.col("cid").isin(probe_cids) & (F.col(id_col) != query_id)
+        )
+        .crossJoin(qv)
+        .select(
             F.col(id_col).alias("vec_id"),
             F.round(
                 cosine_similarity(F.col(vec_col), F.col("qv")), 6

@@ -272,6 +272,51 @@ limit {ANN_K}
 """
 
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: seed-codebook coarse quantization, nprobe-cell
+    probe, exact rerank — the partition-prunable scale path."""
+    from .operators.similarity import ann_topk_ivf
+
+    return ann_topk_ivf(
+        load_table(spark, sf_dir, "embeddings"),
+        ANN_QUERY_ID,
+        ANN_K,
+        n_centroids=IVF_CENTROIDS,
+        nprobe=IVF_NPROBE,
+    )
+
+
+def _oracle_ann_topk_ivf() -> str:
+    from .functions.vectors import l2sq_sql
+
+    d_ec = l2sq_sql("e.embedding", "c.cvec")
+    d_qc = l2sq_sql("q.qv", "c.cvec")
+    cos = cosine_similarity_sql("a.embedding", "q.qv")
+    return f"""
+with cents as (select vec_id cid, embedding cvec from embeddings
+               where vec_id < {IVF_CENTROIDS}),
+assigned as (
+  select vec_id, embedding, cid from (
+    select e.vec_id, e.embedding, c.cid,
+      row_number() over (partition by e.vec_id order by {d_ec}, c.cid) rn
+    from embeddings e cross join cents c) t
+  where rn = 1),
+q as (select embedding qv from embeddings where vec_id = {ANN_QUERY_ID}),
+qprobe as (
+  select c.cid from cents c cross join q
+  order by {d_qc}, c.cid limit {IVF_NPROBE})
+select a.vec_id::bigint vec_id, round({cos}, 6) cos
+from assigned a, q
+where a.vec_id != {ANN_QUERY_ID} and a.cid in (select cid from qprobe)
+order by cos desc, vec_id
+limit {ANN_K}
+"""
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path embedding near-dup (bucketed LSH join); bucket ids are
     deterministic, so the oracle mirrors the bucket equi-join exactly."""
@@ -755,6 +800,7 @@ QUERIES: dict[str, QueryFn] = {
     "extract_metrics_rollup": q_extract_metrics_rollup,
     "media_features": q_media_features,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "render_formats": q_render_formats,
@@ -815,6 +861,7 @@ ORACLES: dict[str, str] = {
     "media_inventory": ORACLE_MEDIA_INVENTORY,
     "media_features": ORACLE_MEDIA_FEATURES,
     "ann_topk_lsh": _oracle_ann_topk_lsh(),
+    "ann_topk_ivf": _oracle_ann_topk_ivf(),
     "dedup_embedding_lsh": _oracle_dedup_embedding_lsh(),
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
