@@ -38,6 +38,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_lsh_candidates",
     "simhash_fingerprints",
+    "simhash_near_dups",
     "embedding_near_dups",
 ]
 
@@ -322,4 +323,54 @@ def embedding_near_dups(
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    bits: int = 16,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Scale path: split the ``bits``-bit fingerprint into ``max_hamming+1``
+    chunks — any pair within the distance bound agrees EXACTLY on at
+    least one chunk (pigeonhole), so candidates come from an equi-join
+    on (chunk_idx, chunk_value) instead of all pairs; the exact
+    bit_count(xor) verify then filters false candidates. Output
+    (doc_a, doc_b, hamming), each pair once."""
+    n_chunks = max_hamming + 1
+    assert bits % n_chunks == 0, "bits must divide into max_hamming+1 chunks"
+    w = bits // n_chunks
+    fp = simhash_fingerprints(docs, bits, id_col, text_col).persist()
+    fp.count()
+    chunk_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), c * w).bitwiseAND((1 << w) - 1)
+            for c in range(n_chunks)
+        ]
+    )
+    chunks = fp.select(
+        "doc_id", "simhash", F.posexplode(chunk_arr).alias("c", "v")
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -31,7 +31,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["media_inventory", "media_features", "MEDIA_FEATURE_SCHEMA"]
+__all__ = [
+    "media_inventory",
+    "media_features",
+    "media_frame_samples",
+    "MEDIA_FEATURE_SCHEMA",
+    "MEDIA_FRAME_SCHEMA",
+]
 
 MEDIA_FEATURE_SCHEMA = StructType(
     [
@@ -129,3 +135,70 @@ def media_features(
     if num_partitions:
         inv = inv.repartition(num_partitions, F.col("media_ref"))
     return inv.mapInPandas(_feature_batches(decode_stub), MEDIA_FEATURE_SCHEMA)
+
+
+FRAME_FEATURE_DIM = 4
+
+MEDIA_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_hash", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def _frame_digest(media_ref: str, frame_idx: int) -> bytes:
+    return hashlib.md5(f"{media_ref}#frame{frame_idx}".encode()).digest()
+
+
+def media_frame_samples(
+    documents: DataFrame,
+    n_frames: int = 3,
+    decode_stub: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One-to-many media decode: sample ``n_frames`` frames per media
+    span and featurize each — the video/audio frame-sampling shape
+    (mapInPandas expanding each input row into several output rows, so
+    Arrow batch sizing and partitioning must tolerate the fan-out).
+
+    Like media_features, the decoder is a documented stub seam: frames
+    are deterministic md5 derivations of (media_ref, frame_idx) — a real
+    decoder (ffmpeg frame grab + featurizer on the executors) replaces
+    ``_frame_digest`` behind the same schema. Output: (doc_id,
+    media_ref, frame_idx, frame_hash, features[FRAME_FEATURE_DIM])."""
+    if not decode_stub:
+        raise NotImplementedError(
+            "real frame decoding requires video/audio libraries; "
+            "run with decode_stub=True"
+        )
+    inv = media_inventory(documents)
+    if num_partitions:
+        inv = inv.repartition(num_partitions, F.col("media_ref"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MEDIA_FRAME_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                for idx in range(n_frames):
+                    d = _frame_digest(ref or "", idx)
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "media_ref": ref,
+                            "frame_idx": idx,
+                            "frame_hash": int.from_bytes(
+                                d[:8], "big", signed=True
+                            ),
+                            "features": [
+                                b / 255.0 for b in d[:FRAME_FEATURE_DIM]
+                            ],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return inv.mapInPandas(run, MEDIA_FRAME_SCHEMA)

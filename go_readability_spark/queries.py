@@ -232,6 +232,48 @@ select doc_id, media_ref, media_type,
 from h
 """
 
+N_FRAMES = 3
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many frame sampling over the driver documents' media
+    spans (stub decode; deterministic md5 frames)."""
+    from .operators.multimodal import media_frame_samples
+
+    docs = documents_as_spans_df(spark, sf_dir, CHUNK, MEDIA_EVERY)
+    frames = media_frame_samples(docs, n_frames=N_FRAMES)
+    return frames.select(
+        "doc_id",
+        "media_ref",
+        "frame_idx",
+        "frame_hash",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )
+
+
+ORACLE_MEDIA_FRAMES = f"""
+with m as (
+  select doc_id::varchar doc_id,
+    'media://doc/' || doc_id::varchar media_ref
+  from documents where doc_id % {MEDIA_EVERY} = 0),
+fr as (
+  select m.*, i.frame_idx,
+    md5(media_ref || '#frame' || frame_idx::varchar) hx
+  from m cross join (
+    select unnest(range({N_FRAMES}))::int frame_idx) i),
+h as (
+  select fr.*,
+    cast(concat('0x', substr(hx, 1, 16)) as ubigint) x
+  from fr)
+select doc_id, media_ref, frame_idx,
+  cast(cast(x as hugeint)
+       - (case when x >= {_U63}::ubigint then {_U64}::hugeint
+          else 0::hugeint end) as bigint) frame_hash,
+  round(cast(cast(cast(concat('0x', substr(hx, 1, 2)) as int) / 255.0
+    as real) as double), 6) f0
+from h
+"""
+
 
 ANN_LSH_PLANES = 4
 EMB_LSH_PLANES = 6
@@ -588,6 +630,33 @@ select doc_id::bigint doc_id, ({fingerprint})::bigint simhash from bits
 """
 
 
+SIMHASH_MAX_HAMMING = 1
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hamming join: pairs within SIMHASH_MAX_HAMMING bits."""
+    from .operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(
+        load_table(spark, sf_dir, "documents"),
+        SIMHASH_BITS,
+        SIMHASH_MAX_HAMMING,
+    )
+
+
+def _oracle_simhash_pairs() -> str:
+    # exact formulation over the same fingerprints: the chunk-banding is
+    # only a candidate generator, so the oracle can verify the final
+    # semantics (all pairs with hamming <= d) directly
+    return f"""
+with sims as (select * from ({_oracle_simhash()}) t)
+select a.doc_id::bigint doc_a, b.doc_id::bigint doc_b,
+  bit_count(xor(a.simhash, b.simhash))::int hamming
+from sims a join sims b on a.doc_id < b.doc_id
+where bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(
         load_table(spark, sf_dir, "embeddings"), EMB_NEAR_T, EMB_BLOCK
@@ -799,6 +868,7 @@ QUERIES: dict[str, QueryFn] = {
     "extract_spans_flat": q_extract_spans_flat,
     "extract_metrics_rollup": q_extract_metrics_rollup,
     "media_features": q_media_features,
+    "media_frames": q_media_frames,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -812,6 +882,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "text_profile": q_text_profile,
@@ -860,6 +931,7 @@ ORACLES: dict[str, str] = {
     "doc_bytes_prepass": ORACLE_DOC_BYTES,
     "media_inventory": ORACLE_MEDIA_INVENTORY,
     "media_features": ORACLE_MEDIA_FEATURES,
+    "media_frames": ORACLE_MEDIA_FRAMES,
     "ann_topk_lsh": _oracle_ann_topk_lsh(),
     "ann_topk_ivf": _oracle_ann_topk_ivf(),
     "dedup_embedding_lsh": _oracle_dedup_embedding_lsh(),
@@ -867,6 +939,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": _oracle_minhash(),
     "dedup_simhash": _oracle_simhash(),
+    "dedup_simhash_pairs": _oracle_simhash_pairs(),
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "ann_topk": ORACLE_ANN_TOPK,
     "text_profile": _oracle_text_profile(),
