@@ -99,7 +99,9 @@ def main() -> None:
                     el = round(time.time() - t, 3)
                     best = el if best is None else min(best, el)
                 except Exception as exc:  # noqa: BLE001
-                    best = -1.0
+                    # keep an earlier successful minimum — only report
+                    # failure when NO repeat produced a measurement
+                    best = best if best is not None else -1.0
                     print(f"# query {name} failed: {exc}", file=sys.stderr)
                     break
                 finally:

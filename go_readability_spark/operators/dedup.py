@@ -12,11 +12,11 @@ engines share constants):
 - embedding    — cosine near-dup pairs (bounded block here; LSH-bucketed
                  variant in similarity.py for scale)
 
-Persist lifecycle: ngram_jaccard_pairs and minhash_lsh_candidates
-persist intermediates their returned (lazy) plans reference — the
-caller releases them with ``spark.catalog.clearCache()`` after
-materializing (bench.py does; the driver's one-shot query runs exit the
-session anyway).
+Persist lifecycle: ngram_jaccard_pairs, minhash_lsh_candidates, and
+simhash_near_dups persist (and eagerly materialize) intermediates their
+returned plans reference — the caller releases them with
+``spark.catalog.clearCache()`` after materializing (bench.py does; the
+driver's one-shot query runs exit the session anyway).
 
 Scale notes: the shingle-explode join is the dominant cost; its key
 distribution is zipfian, so very frequent shingles (stop-shingles) are the

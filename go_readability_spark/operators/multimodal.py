@@ -180,25 +180,31 @@ def media_frame_samples(
         inv = inv.repartition(num_partitions, F.col("media_ref"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in MEDIA_FRAME_SCHEMA.fields]
+        # columnar construction like _feature_batches (commit e9d5460):
+        # repeat the input columns n_frames times, tile the frame index,
+        # digest once per output row — no per-row dict records
         for pdf in batches:
-            rows = []
-            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
-                for idx in range(n_frames):
-                    d = _frame_digest(ref or "", idx)
-                    rows.append(
-                        {
-                            "doc_id": doc_id,
-                            "media_ref": ref,
-                            "frame_idx": idx,
-                            "frame_hash": int.from_bytes(
-                                d[:8], "big", signed=True
-                            ),
-                            "features": [
-                                b / 255.0 for b in d[:FRAME_FEATURE_DIM]
-                            ],
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=cols)
+            doc_ids = [d for d in pdf["doc_id"] for _ in range(n_frames)]
+            refs = [r for r in pdf["media_ref"] for _ in range(n_frames)]
+            idxs = list(range(n_frames)) * len(pdf)
+            digests = [
+                _frame_digest(r or "", i) for r, i in zip(refs, idxs)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "media_ref": refs,
+                    "frame_idx": idxs,
+                    "frame_hash": [
+                        int.from_bytes(d[:8], "big", signed=True)
+                        for d in digests
+                    ],
+                    "features": [
+                        [b / 255.0 for b in d[:FRAME_FEATURE_DIM]]
+                        for d in digests
+                    ],
+                },
+                columns=[f.name for f in MEDIA_FRAME_SCHEMA.fields],
+            )
 
     return inv.mapInPandas(run, MEDIA_FRAME_SCHEMA)

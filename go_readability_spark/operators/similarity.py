@@ -179,16 +179,23 @@ def ann_topk_ivf(
     lexicographic, ties to the smaller cid — with squared-L2 folded in
     array order so the DuckDB oracle reproduces it bit-for-bit.
     """
-    from ..functions.vectors import cosine_similarity, l2sq
+    from ..functions.vectors import l2sq
 
+    # ONE driver action fetches the codebook AND the query vector (the
+    # query vector then ships as literals with the centroids — no
+    # per-invocation rescans of the source for single rows)
+    small = embeddings.filter(
+        (F.col(id_col) < n_centroids) | (F.col(id_col) == query_id)
+    ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")).collect()
     cents = sorted(
-        (
-            int(r["cid"]),
-            [float(x) for x in r["cvec"]],
-        )
-        for r in embeddings.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .collect()
+        (int(r["cid"]), [float(x) for x in r["cvec"]])
+        for r in small
+        if int(r["cid"]) < n_centroids
+    )
+    qvec = next(
+        [float(x) for x in r["cvec"]]
+        for r in small
+        if int(r["cid"]) == query_id
     )
 
     def assign(vec):
@@ -205,13 +212,6 @@ def ann_topk_ivf(
 
     # the query's nprobe nearest cells, computed with the IDENTICAL
     # left-fold double arithmetic (python floats are the same doubles)
-    qvec = [
-        float(x)
-        for x in embeddings.filter(F.col(id_col) == query_id)
-        .select(vec_col)
-        .collect()[0][0]
-    ]
-
     def py_l2sq(a, b):
         acc = 0.0
         for x, y in zip(a, b):
@@ -225,17 +225,16 @@ def ann_topk_ivf(
         )[:nprobe]
     ]
 
-    qv = _query_vec(embeddings, query_id, id_col, vec_col)
+    qv_lit = F.array(*[F.lit(x) for x in qvec])
     assigned = embeddings.withColumn("cid", assign(F.col(vec_col)))
     return (
         assigned.filter(
             F.col("cid").isin(probe_cids) & (F.col(id_col) != query_id)
         )
-        .crossJoin(qv)
         .select(
             F.col(id_col).alias("vec_id"),
             F.round(
-                cosine_similarity(F.col(vec_col), F.col("qv")), 6
+                cosine_similarity(F.col(vec_col), qv_lit), 6
             ).alias("cos"),
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id"))

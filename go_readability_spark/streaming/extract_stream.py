@@ -71,6 +71,12 @@ def run_extract_stream(
     return writer.start()
 
 
+_EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
 def stream_events_hourly(
     spark: SparkSession,
     events_path: str,
@@ -81,12 +87,7 @@ def stream_events_hourly(
     State for a window is dropped once the watermark passes its end, so
     long-running state is bounded; events later than the watermark are
     discarded (the documented late-data contract)."""
-    events = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string, "
-            "value double, props string"
-        ).parquet(events_path)
-    )
+    events = spark.readStream.schema(_EVENTS_DDL).parquet(events_path)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -103,12 +104,6 @@ def stream_events_hourly(
     )
 
 
-_EVENTS_DDL = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def stream_sessionize(
     spark: SparkSession,
     events_path: str,
@@ -119,18 +114,24 @@ def stream_sessionize(
     ``applyInPandasWithState`` (the semantics of the batch
     ``operators.relational.sessionize``, maintained incrementally).
 
-    State per user = the open session (start, last event, count) as
-    epoch-microseconds. Within a micro-batch, events are folded in
-    event-time order; a gap > ``gap_minutes`` closes the session (row
-    emitted immediately). The trailing open session is kept in state
-    with an EVENT-TIME timeout at ``last + gap``: when the watermark
-    passes it, the timed-out callback emits the closed session and
-    clears the state — so state is bounded by the number of concurrently
-    active users, never by history. Late events older than the watermark
-    are dropped by the watermark operator upstream.
+    State per user = ALL not-yet-final sessions as parallel arrays of
+    (start, last, n_events) in epoch-microseconds. Each batch buffers
+    the group's Arrow chunks, sorts ALL events globally by event time
+    (chunks arrive in arbitrary order), treats each event as a
+    single-point session, and interval-merges it with the state
+    (sessions within ``gap_minutes`` of each other coalesce — this also
+    handles a late-but-valid event BRIDGING two open sessions). A
+    session is emitted only once it is FINAL: when the watermark has
+    passed ``last + gap``, no event the watermark still admits can
+    extend or bridge into it. Finality is checked against
+    ``state.getCurrentWatermarkMs()`` on every invocation and via an
+    EVENT-TIME timeout at the earliest pending close boundary, so
+    sessions also close on watermark-only (no-data) progress. State is
+    bounded: pending sessions are bounded by the watermark delay, and
+    late events older than the watermark are dropped upstream.
 
     Output rows: (user_id, session_start, session_end, n_events), one
-    per CLOSED session (append mode — a session is final when emitted).
+    per closed session (append mode — a session IS final when emitted).
     """
     import pandas as pd  # local: executors import lazily
 
@@ -139,46 +140,62 @@ def stream_sessionize(
     def fold(key, pdf_iter, state):
         user_id = key[0]
 
-        def row(start_us: int, end_us: int, n: int) -> "pd.DataFrame":
-            return pd.DataFrame(
+        sessions: list[list[int]] = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            sessions = [list(t) for t in zip(starts, lasts, ns)]
+
+        # fold this batch's events (globally sorted) into the session set
+        ts_all = []
+        for pdf in pdf_iter:
+            # datetime64[ns] -> epoch microseconds
+            ts_all.extend(int(t) // 1000 for t in pdf["ts"].astype("int64"))
+        if ts_all:
+            merged = []
+            for s, l, n in sorted(
+                sessions + [[t, t, 1] for t in ts_all]
+            ):
+                if merged and s - merged[-1][1] <= gap_us:
+                    merged[-1][1] = max(merged[-1][1], l)
+                    merged[-1][2] += n
+                else:
+                    merged.append([s, l, n])
+            sessions = merged
+
+        # emit every session the watermark has made FINAL
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        final = [t for t in sessions if t[1] + gap_us < wm_us]
+        pending = [t for t in sessions if t[1] + gap_us >= wm_us]
+
+        if pending:
+            state.update(
+                (
+                    [t[0] for t in pending],
+                    [t[1] for t in pending],
+                    [t[2] for t in pending],
+                )
+            )
+            # event-time timeout at the earliest pending close boundary
+            # (ms API); fires on watermark progress even with no data
+            state.setTimeoutTimestamp(
+                min((t[1] + gap_us) // 1000 for t in pending) + 1
+            )
+        else:
+            state.remove()
+
+        if final:
+            yield pd.DataFrame(
                 {
-                    "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(end_us, unit="us")],
-                    "n_events": [n],
+                    "user_id": [user_id] * len(final),
+                    "session_start": [
+                        pd.Timestamp(t[0], unit="us") for t in final
+                    ],
+                    "session_end": [
+                        pd.Timestamp(t[1], unit="us") for t in final
+                    ],
+                    "n_events": [t[2] for t in final],
                 }
             )
-
-        if state.hasTimedOut:
-            start_us, last_us, n = state.get
-            state.remove()
-            yield row(start_us, last_us, n)
-            return
-
-        if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us = last_us = -1
-            n = 0
-        for pdf in pdf_iter:
-            # datetime64[ns] -> epoch microseconds, event-time order
-            ts_us = (pdf["ts"].astype("int64") // 1000).sort_values()
-            for t in ts_us:
-                t = int(t)
-                if n == 0:
-                    start_us, last_us, n = t, t, 1
-                elif t - last_us > gap_us:
-                    yield row(start_us, last_us, n)
-                    start_us, last_us, n = t, t, 1
-                else:
-                    last_us, n = t, n + 1
-        if n:
-            state.update((start_us, last_us, n))
-            # event-time timeout: fire when the watermark passes the
-            # session's close boundary (milliseconds API)
-            state.setTimeoutTimestamp((last_us + gap_us) // 1000)
-        else:
-            state.remove()
 
     events = (
         spark.readStream.schema(_EVENTS_DDL)
@@ -193,7 +210,9 @@ def stream_sessionize(
             "user_id long, session_start timestamp, "
             "session_end timestamp, n_events long"
         ),
-        stateStructType="start long, last long, n long",
+        stateStructType=(
+            "starts array<long>, lasts array<long>, ns array<long>"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -99,9 +99,9 @@ class TestEventsWindowed:
 
 class TestStatefulSessionize:
     def test_stream_sessionize_stateful(self, spark, tmp_path):
-        """applyInPandasWithState sessionization: in-batch gap closures
-        emit immediately; the trailing open session closes via the
-        EVENT-TIME timeout once a later drain advances the watermark."""
+        """applyInPandasWithState sessionization: sessions emit only
+        once the watermark makes them final — within a drain via the
+        no-data batch, across drains via the event-time timeout."""
         import datetime as dt
 
         from go_readability_spark.streaming import stream_sessionize
@@ -153,10 +153,10 @@ class TestStatefulSessionize:
             (r["user_id"], r["session_start"].minute, r["n_events"])
             for r in spark.read.parquet(out).collect()
         }
-        # user 1's first burst closed IN-batch; availableNow then runs a
-        # no-data batch with the watermark at max_ts - 10min (minute 95),
-        # which fires user 2's event-time timeout (20' + 30' gap = 50').
-        # User 1's second session (timeout minute 135) stays open.
+        # availableNow runs a no-data batch after the backlog, with the
+        # watermark at max_ts - 10min (minute 95): user 1's first burst
+        # (close boundary 10'+30'=40') and user 2's session (50') are
+        # final; user 1's second session (135') stays pending.
         assert rows == {(1, 0, 3), (2, 0, 2)}
 
         # a much later event advances the watermark past every open
@@ -173,3 +173,62 @@ class TestStatefulSessionize:
         assert (1, 40, 2) in rows  # 100 min = 1h40 -> minute 40
         assert (2, 0, 2) in rows
         assert len(rows) == 3  # user 3's session still open (no output)
+
+    def test_stream_sessionize_bridges_late_but_valid_event(self, spark, tmp_path):
+        """A late-but-valid event (newer than the watermark) that lands
+        BETWEEN two pending sessions must merge them into one — and no
+        session may be emitted before the watermark makes it final."""
+        import datetime as dt
+
+        from go_readability_spark.streaming import stream_sessionize
+
+        inp = str(tmp_path / "br_in")
+        out = str(tmp_path / "br_out")
+        ckpt = str(tmp_path / "br_ckpt")
+        base = dt.datetime(2026, 1, 1, 12, 0, 0)
+        ddl = (
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+
+        def ev(eid, minutes):
+            return (eid, base + dt.timedelta(minutes=minutes), 9, "c", 1.0, "{}")
+
+        def drain():
+            q = (
+                stream_sessionize(spark, inp, gap_minutes=30, watermark="1 hour")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # two bursts 40' apart -> two PENDING sessions (gap 30')
+        spark.createDataFrame([ev(1, 0), ev(2, 40)], ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        drain()
+        assert spark.read.parquet(out).count() == 0  # nothing final yet
+
+        # minute 20 is older than both bursts but NEWER than the
+        # watermark (40' - 60' delay) -> must bridge [0,0] and [40,40]
+        spark.createDataFrame([ev(3, 20)], ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        drain()
+        assert spark.read.parquet(out).count() == 0
+
+        # far-future event pushes the watermark past 40'+30' -> the ONE
+        # merged session becomes final
+        spark.createDataFrame([ev(4, 600)], ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        drain()
+        rows = [
+            (r["session_start"].minute, r["session_end"].minute, r["n_events"])
+            for r in spark.read.parquet(out).collect()
+        ]
+        assert rows == [(0, 40, 3)]
