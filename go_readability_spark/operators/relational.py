@@ -17,6 +17,7 @@ __all__ = [
     "sessionize",
     "pricing_summary",
     "resume_pending",
+    "revenue_by_nation",
 ]
 
 SESSION_GAP_MIN = 30
@@ -119,4 +120,45 @@ def resume_pending(orders: DataFrame, mod: int = 7, done_below: int = 2) -> Data
     return (
         orders.join(F.broadcast(done), "o_orderkey", "left_anti")
         .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+
+
+def revenue_by_nation(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """Star-schema revenue rollup (TPC-H Q5-shaped): orders ⨝ customer
+    ⨝ nation ⨝ region, filtered to one region, grouped by nation.
+
+    The dimension chain (region → nation → customer) is broadcast: at
+    fact-table scale only `orders` shuffles — once, for the final
+    aggregation — while the joins are map-side hash probes. Catalyst
+    pushes the region filter through the joins so pruned dimensions
+    never reach the probe. Revenue sums decimal-exact (order-independent
+    across engines). Output: (n_name, n_orders, revenue)."""
+    dims = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(
+                        region.filter(F.col("r_name") == region_name)
+                    ),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                ).select("n_nationkey", "n_name")
+            ),
+            customer["c_nationkey"] == F.col("n_nationkey"),
+        ).select("c_custkey", "n_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders["o_custkey"] == dims["c_custkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("revenue"),
+        )
     )

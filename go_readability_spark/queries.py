@@ -49,6 +49,7 @@ from .operators.relational import (
     events_hourly,
     pricing_summary,
     resume_pending,
+    revenue_by_nation,
     sessionize,
 )
 from .operators.similarity import ann_topk_bruteforce, ann_topk_lsh
@@ -846,6 +847,33 @@ group by l_returnflag, l_linestatus
 """
 
 
+REGION_NAME = "ASIA"
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema broadcast-join rollup over the TPC-H dims."""
+    return revenue_by_nation(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        REGION_NAME,
+    )
+
+
+ORACLE_REVENUE_BY_NATION = f"""
+select n.n_name,
+  count(*)::bigint n_orders,
+  sum(cast(o.o_totalprice as decimal(18,2)))::decimal(18,2) revenue
+from orders o
+join customer c on o.o_custkey = c.c_custkey
+join nation n on c.c_nationkey = n.n_nationkey
+join region r on n.n_regionkey = r.r_regionkey
+where r.r_name = '{REGION_NAME}'
+group by n.n_name
+"""
+
+
 def q_resume_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resume_pending(load_table(spark, sf_dir, "orders"))
 
@@ -891,6 +919,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
     "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
     "resume_antijoin": q_resume_antijoin,
 }
 
@@ -948,6 +977,7 @@ ORACLES: dict[str, str] = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "sessionize": ORACLE_SESSIONIZE,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "resume_antijoin": ORACLE_RESUME_ANTIJOIN,
     **{name: _golden_oracle(name) for name in GOLDEN_ORACLE_QUERIES},
 }

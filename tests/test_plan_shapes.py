@@ -112,3 +112,25 @@ class TestNativeStages:
         # map-side partial agg before the exchange, final after
         assert plan.count("HashAggregate") >= 2
         assert "hashpartitioning(text_hash" in plan
+
+
+class TestStarJoinPlan:
+    def test_revenue_by_nation_broadcasts_all_dims(self, spark):
+        """The dimension chain must hash-probe map-side: no shuffle of
+        orders before the final aggregation exchange."""
+        from go_readability_spark.operators.relational import revenue_by_nation
+
+        df = revenue_by_nation(
+            spark.read.parquet(f"{SF}/orders.parquet"),
+            spark.read.parquet(f"{SF}/customer.parquet"),
+            spark.read.parquet(f"{SF}/nation.parquet"),
+            spark.read.parquet(f"{SF}/region.parquet"),
+        )
+        plan = _formatted(df)
+        # formatted plans print each node in tree + details sections
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+        # the only orders exchange is the aggregation's n_name partitioning
+        assert "hashpartitioning(n_name" in plan
+        # region filter pushed into the dimension scan
+        assert "r_name" in plan and "PushedFilters: [IsNotNull(r_name)" in plan
