@@ -22,6 +22,7 @@ __all__ = [
     "text_profile",
     "language_id",
     "fingerprints",
+    "quality_filter",
 ]
 
 # quality-scoring stopwords (english-ish; the corpus vocabulary is synthetic
@@ -109,4 +110,79 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.col(id_col).alias("doc_id"),
         norm_fingerprint(F.col(text_col)).alias("norm_md5"),
         rolling_hash(F.col(text_col)).alias("rolling"),
+    )
+
+
+# Gopher-style document-quality gates (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", §A1.1 — public heuristics). Thresholds are the
+# paper's, except min_words which is scaled to the short synthetic docs.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MAX_DUP_LINE_FRAC = 0.3
+
+
+def quality_filter(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style keep/reject gates, one boolean per rule + verdict.
+
+    Pure Catalyst: word stats from the shared tokens(); the duplicate-
+    line fraction (the one corpus-statistic-free repetition signal) is
+    computed per document with array ops — lines that occur more than
+    once, as a fraction of all non-empty lines. Output:
+    (doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+    dup_line_frac, pass_*, keep)."""
+    toks = tokens(F.col(text_col))
+    n_words = ws_token_count(F.col(text_col))
+    # mean word length over the words themselves (not chars/words — that
+    # would count whitespace); left as exact double quotient
+    total_word_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    mean_wl = total_word_chars / F.greatest(n_words, F.lit(1)).cast("double")
+    n_symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), 0)
+    )
+    symbol_ratio = n_symbols / F.greatest(n_words, F.lit(1)).cast("double")
+    n_alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    )
+    alpha_frac = n_alpha_words / F.greatest(n_words, F.lit(1)).cast("double")
+    lines = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n"),
+            lambda l: F.trim(l),
+        ),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    n_distinct_lines = F.size(F.array_distinct(lines))
+    dup_line_frac = (n_lines - n_distinct_lines) / F.greatest(
+        n_lines, F.lit(1)
+    ).cast("double")
+
+    p_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    p_wl = (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        mean_wl <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    p_sym = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    p_alpha = alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC
+    p_dup = dup_line_frac <= GOPHER_MAX_DUP_LINE_FRAC
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        p_words.alias("pass_n_words"),
+        p_wl.alias("pass_mean_word_len"),
+        p_sym.alias("pass_symbol_ratio"),
+        p_alpha.alias("pass_alpha_words"),
+        p_dup.alias("pass_dup_lines"),
+        (p_words & p_wl & p_sym & p_alpha & p_dup).alias("keep"),
     )

@@ -59,6 +59,7 @@ from .operators.textops import (
     STOPWORDS,
     fingerprints,
     language_id,
+    quality_filter,
     text_profile,
 )
 from .sources.tables import corpus_df, documents_as_spans_df, load_table
@@ -751,6 +752,62 @@ from scores
 """
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality gates (Rae et al. 2021 A1.1)."""
+    return quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_quality_filter() -> str:
+    from .operators.textops import (
+        GOPHER_MAX_DUP_LINE_FRAC,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_WORD_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+    )
+
+    toks = tokens_sql("text")
+    return f"""
+with t as (
+  select doc_id,
+    case when trim(coalesce(text, '')) = '' then 0
+         else len({toks}) end n_words,
+    list_reduce(list_prepend(0, list_transform({toks}, w -> length(w))),
+                (a, x) -> a + x) total_wc,
+    len(regexp_extract_all(coalesce(text, ''), '#|\\.\\.\\.')) n_sym,
+    len(list_filter({toks}, w -> regexp_matches(w, '[A-Za-z]'))) n_alpha,
+    list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                               l -> trim(l)), l -> l != '') lines
+  from documents),
+m as (
+  select doc_id, n_words,
+    total_wc / greatest(n_words, 1)::double mean_wl,
+    n_sym / greatest(n_words, 1)::double sym_ratio,
+    n_alpha / greatest(n_words, 1)::double alpha_frac,
+    (len(lines) - len(list_distinct(lines)))
+      / greatest(len(lines), 1)::double dup_frac
+  from t)
+select doc_id::bigint doc_id, n_words::int n_words,
+  round(mean_wl, 6) mean_word_len,
+  round(sym_ratio, 6) symbol_ratio,
+  round(alpha_frac, 6) alpha_word_frac,
+  round(dup_frac, 6) dup_line_frac,
+  (n_words >= {GOPHER_MIN_WORDS} and n_words <= {GOPHER_MAX_WORDS}) pass_n_words,
+  (mean_wl >= {GOPHER_MIN_MEAN_WORD_LEN} and mean_wl <= {GOPHER_MAX_MEAN_WORD_LEN}) pass_mean_word_len,
+  (sym_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) pass_symbol_ratio,
+  (alpha_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC}) pass_alpha_words,
+  (dup_frac <= {GOPHER_MAX_DUP_LINE_FRAC}) pass_dup_lines,
+  ((n_words >= {GOPHER_MIN_WORDS} and n_words <= {GOPHER_MAX_WORDS})
+   and (mean_wl >= {GOPHER_MIN_MEAN_WORD_LEN} and mean_wl <= {GOPHER_MAX_MEAN_WORD_LEN})
+   and (sym_ratio <= {GOPHER_MAX_SYMBOL_RATIO})
+   and (alpha_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC})
+   and (dup_frac <= {GOPHER_MAX_DUP_LINE_FRAC})) keep
+from m
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -915,6 +972,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk": q_ann_topk,
     "text_profile": q_text_profile,
     "lang_id": q_lang_id,
+    "quality_filter": q_quality_filter,
     "fingerprints": q_fingerprints,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
@@ -973,6 +1031,7 @@ ORACLES: dict[str, str] = {
     "ann_topk": ORACLE_ANN_TOPK,
     "text_profile": _oracle_text_profile(),
     "lang_id": _oracle_lang_id(),
+    "quality_filter": _oracle_quality_filter(),
     "fingerprints": ORACLE_FINGERPRINTS,
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "sessionize": ORACLE_SESSIONIZE,

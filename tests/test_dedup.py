@@ -115,3 +115,24 @@ class TestAnnVariants:
         assert overlap >= 1
         # determinism: re-running yields the identical list
         assert ivf == [r["vec_id"] for r in ann_topk_ivf(emb, 0, 10).collect()]
+
+
+class TestQualityFilter:
+    def test_gopher_gates(self, spark):
+        from go_readability_spark.operators.textops import quality_filter
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the green forest tonight again soon"),  # clean
+            (2, "ok"),  # too few words
+            (3, "### ### ### " + "word " * 30),  # symbol-heavy
+            (4, ("line one\nline one\nline one\nline two\n" + "w " * 30)),  # dup lines
+            (5, "123 456 789 " * 10),  # no alpha words
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+        assert out[1]["keep"] is True
+        assert out[2]["pass_n_words"] is False and out[2]["keep"] is False
+        assert out[3]["pass_symbol_ratio"] is False
+        assert out[4]["pass_dup_lines"] is False
+        assert out[5]["pass_alpha_words"] is False
