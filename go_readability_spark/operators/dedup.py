@@ -40,6 +40,7 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_dups",
     "embedding_near_dups",
+    "boilerplate_fraction",
 ]
 
 
@@ -373,4 +374,56 @@ def simhash_near_dups(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def boilerplate_fraction(
+    docs: DataFrame,
+    n: int = 8,
+    min_df: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level boilerplate signal (C4/RefinedWeb-style): the
+    fraction of each document's word ``n``-grams that are corpus-
+    frequent (appearing in ≥ ``min_df`` documents).
+
+    Two-phase shape: a global n-gram document-frequency aggregate (one
+    shuffle on the gram, map-side partials), then a semi-join of each
+    document's grams against the frequent set and a per-doc rollup.
+    Documents too short for any n-gram report 0 grams / 0.0 fraction
+    (left join from the doc spine). Output: (doc_id, n_grams,
+    n_boiler, boiler_frac)."""
+    sh = _shingle_table(docs, id_col, text_col, n).persist()
+    sh.count()
+    ex = sh.select("doc_id", F.explode("sh").alias("g"))
+    frequent = (
+        ex.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("g")
+    )
+    per_doc = (
+        ex.join(frequent.withColumn("is_boiler", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("is_boiler").alias("n_boiler"),
+        )
+    )
+    spine = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        spine.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.round(
+                F.coalesce("n_boiler", F.lit(0))
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("boiler_frac"),
+        )
     )

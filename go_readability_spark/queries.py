@@ -808,6 +808,40 @@ from m
 """
 
 
+BOILER_N = 8
+BOILER_MIN_DF = 10
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate fraction (frequent n-gram passages)."""
+    from .operators.dedup import boilerplate_fraction
+
+    return boilerplate_fraction(
+        load_table(spark, sf_dir, "documents"), BOILER_N, BOILER_MIN_DF
+    )
+
+
+def _oracle_boilerplate() -> str:
+    toks = tokens_sql("text")
+    sh = shingles_sql("t", BOILER_N)
+    return f"""
+with t as (select doc_id, {toks} t from documents),
+sh as (select doc_id, {sh} sh from t),
+ex as (select doc_id, unnest(sh) g from sh),
+freq as (select g from ex group by g having count(*) >= {BOILER_MIN_DF}),
+per_doc as (
+  select ex.doc_id, count(*) n_grams,
+    count(freq.g) n_boiler
+  from ex left join freq on ex.g = freq.g
+  group by ex.doc_id)
+select d.doc_id::bigint doc_id,
+  coalesce(p.n_grams, 0)::bigint n_grams,
+  coalesce(p.n_boiler, 0)::bigint n_boiler,
+  round(coalesce(p.n_boiler, 0) / greatest(coalesce(p.n_grams, 0), 1)::double, 6) boiler_frac
+from documents d left join per_doc p on d.doc_id = p.doc_id
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -973,6 +1007,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_profile": q_text_profile,
     "lang_id": q_lang_id,
     "quality_filter": q_quality_filter,
+    "boilerplate": q_boilerplate,
     "fingerprints": q_fingerprints,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
@@ -1032,6 +1067,7 @@ ORACLES: dict[str, str] = {
     "text_profile": _oracle_text_profile(),
     "lang_id": _oracle_lang_id(),
     "quality_filter": _oracle_quality_filter(),
+    "boilerplate": _oracle_boilerplate(),
     "fingerprints": ORACLE_FINGERPRINTS,
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "sessionize": ORACLE_SESSIONIZE,
