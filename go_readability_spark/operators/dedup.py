@@ -1,6 +1,7 @@
 """Deduplication operators for the training-data pipeline.
 
-Five strategies, all pure Catalyst (no Python UDFs), each with a matching
+Dedup/near-dup strategies plus corpus-level repetition signals, all
+pure Catalyst (no Python UDFs), each with a matching
 DuckDB oracle in queries.py (the formulas live in functions/ so the two
 engines share constants):
 
@@ -12,8 +13,9 @@ engines share constants):
 - embedding    — cosine near-dup pairs (bounded block here; LSH-bucketed
                  variant in similarity.py for scale)
 
-Persist lifecycle: ngram_jaccard_pairs, minhash_lsh_candidates, and
-simhash_near_dups persist (and eagerly materialize) intermediates their
+Persist lifecycle: ngram_jaccard_pairs, minhash_lsh_candidates,
+simhash_near_dups, and boilerplate_fraction persist (and eagerly
+materialize) intermediates their
 returned plans reference — the caller releases them with
 ``spark.catalog.clearCache()`` after materializing (bench.py does; the
 driver's one-shot query runs exit the session anyway).

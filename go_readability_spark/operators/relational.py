@@ -133,11 +133,14 @@ def revenue_by_nation(
     """Star-schema revenue rollup (TPC-H Q5-shaped): orders ⨝ customer
     ⨝ nation ⨝ region, filtered to one region, grouped by nation.
 
-    The dimension chain (region → nation → customer) is broadcast: at
-    fact-table scale only `orders` shuffles — once, for the final
-    aggregation — while the joins are map-side hash probes. Catalyst
-    pushes the region filter through the joins so pruned dimensions
-    never reach the probe. Revenue sums decimal-exact (order-independent
+    region and nation are broadcast unconditionally (bounded: 5 / 25
+    rows at any TPC-H scale). The customer-joined dims side is LEFT TO
+    SIZE-BASED PLANNING: customer grows linearly with scale factor, so
+    a forced broadcast would blow the driver at large SF — Spark/AQE
+    broadcasts it while it fits (asserted at bench scale by the plan
+    test) and falls back to a shuffle join beyond that. Catalyst pushes
+    the region filter through the joins so pruned dimensions never
+    reach the probe. Revenue sums decimal-exact (order-independent
     across engines). Output: (n_name, n_orders, revenue)."""
     dims = (
         customer.join(
@@ -153,7 +156,7 @@ def revenue_by_nation(
         ).select("c_custkey", "n_name")
     )
     return (
-        orders.join(F.broadcast(dims), orders["o_custkey"] == dims["c_custkey"])
+        orders.join(dims, orders["o_custkey"] == dims["c_custkey"])
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_orders"),

@@ -120,7 +120,7 @@ GOPHER_MIN_WORDS = 20
 GOPHER_MAX_WORDS = 100_000
 GOPHER_MIN_MEAN_WORD_LEN = 3.0
 GOPHER_MAX_MEAN_WORD_LEN = 10.0
-GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_SYMBOL_RATIO = 0.1  # per symbol family, as in the paper
 GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
 GOPHER_MAX_DUP_LINE_FRAC = 0.3
 
@@ -133,9 +133,11 @@ def quality_filter(
     Pure Catalyst: word stats from the shared tokens(); the duplicate-
     line fraction (the one corpus-statistic-free repetition signal) is
     computed per document with array ops — lines that occur more than
-    once, as a fraction of all non-empty lines. Output:
-    (doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
-    dup_line_frac, pass_*, keep)."""
+    once, as a fraction of all non-empty lines. The symbol gate follows
+    the paper: '#' and '...' ratios are computed and thresholded
+    SEPARATELY (a doc passes only if both are <= the cap). Output:
+    (doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+    alpha_word_frac, dup_line_frac, pass_*, keep)."""
     toks = tokens(F.col(text_col))
     n_words = ws_token_count(F.col(text_col))
     # mean word length over the words themselves (not chars/words — that
@@ -144,10 +146,12 @@ def quality_filter(
         toks, F.lit(0), lambda acc, t: acc + F.length(t)
     )
     mean_wl = total_word_chars / F.greatest(n_words, F.lit(1)).cast("double")
-    n_symbols = F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), 0)
-    )
-    symbol_ratio = n_symbols / F.greatest(n_words, F.lit(1)).cast("double")
+    text_nn = F.coalesce(F.col(text_col), F.lit(""))
+    n_hash = F.size(F.regexp_extract_all(text_nn, F.lit(r"#"), 0))
+    n_ellipsis = F.size(F.regexp_extract_all(text_nn, F.lit(r"\.\.\."), 0))
+    denom_w = F.greatest(n_words, F.lit(1)).cast("double")
+    hash_ratio = n_hash / denom_w
+    ellipsis_ratio = n_ellipsis / denom_w
     n_alpha_words = F.size(
         F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
     )
@@ -169,14 +173,17 @@ def quality_filter(
     p_wl = (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN) & (
         mean_wl <= GOPHER_MAX_MEAN_WORD_LEN
     )
-    p_sym = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    p_sym = (hash_ratio <= GOPHER_MAX_SYMBOL_RATIO) & (
+        ellipsis_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    )
     p_alpha = alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC
     p_dup = dup_line_frac <= GOPHER_MAX_DUP_LINE_FRAC
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n_words.alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(hash_ratio, 6).alias("hash_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
         F.round(alpha_frac, 6).alias("alpha_word_frac"),
         F.round(dup_line_frac, 6).alias("dup_line_frac"),
         p_words.alias("pass_n_words"),

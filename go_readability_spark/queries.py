@@ -776,7 +776,8 @@ with t as (
          else len({toks}) end n_words,
     list_reduce(list_prepend(0, list_transform({toks}, w -> length(w))),
                 (a, x) -> a + x) total_wc,
-    len(regexp_extract_all(coalesce(text, ''), '#|\\.\\.\\.')) n_sym,
+    len(regexp_extract_all(coalesce(text, ''), '#')) n_hash,
+    len(regexp_extract_all(coalesce(text, ''), '\\.\\.\\.')) n_ellipsis,
     len(list_filter({toks}, w -> regexp_matches(w, '[A-Za-z]'))) n_alpha,
     list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
                                l -> trim(l)), l -> l != '') lines
@@ -784,24 +785,28 @@ with t as (
 m as (
   select doc_id, n_words,
     total_wc / greatest(n_words, 1)::double mean_wl,
-    n_sym / greatest(n_words, 1)::double sym_ratio,
+    n_hash / greatest(n_words, 1)::double hash_ratio,
+    n_ellipsis / greatest(n_words, 1)::double ellipsis_ratio,
     n_alpha / greatest(n_words, 1)::double alpha_frac,
     (len(lines) - len(list_distinct(lines)))
       / greatest(len(lines), 1)::double dup_frac
   from t)
 select doc_id::bigint doc_id, n_words::int n_words,
   round(mean_wl, 6) mean_word_len,
-  round(sym_ratio, 6) symbol_ratio,
+  round(hash_ratio, 6) hash_ratio,
+  round(ellipsis_ratio, 6) ellipsis_ratio,
   round(alpha_frac, 6) alpha_word_frac,
   round(dup_frac, 6) dup_line_frac,
   (n_words >= {GOPHER_MIN_WORDS} and n_words <= {GOPHER_MAX_WORDS}) pass_n_words,
   (mean_wl >= {GOPHER_MIN_MEAN_WORD_LEN} and mean_wl <= {GOPHER_MAX_MEAN_WORD_LEN}) pass_mean_word_len,
-  (sym_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) pass_symbol_ratio,
+  (hash_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+   and ellipsis_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) pass_symbol_ratio,
   (alpha_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC}) pass_alpha_words,
   (dup_frac <= {GOPHER_MAX_DUP_LINE_FRAC}) pass_dup_lines,
   ((n_words >= {GOPHER_MIN_WORDS} and n_words <= {GOPHER_MAX_WORDS})
    and (mean_wl >= {GOPHER_MIN_MEAN_WORD_LEN} and mean_wl <= {GOPHER_MAX_MEAN_WORD_LEN})
-   and (sym_ratio <= {GOPHER_MAX_SYMBOL_RATIO})
+   and (hash_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+        and ellipsis_ratio <= {GOPHER_MAX_SYMBOL_RATIO})
    and (alpha_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC})
    and (dup_frac <= {GOPHER_MAX_DUP_LINE_FRAC})) keep
 from m
