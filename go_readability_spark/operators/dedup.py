@@ -43,6 +43,7 @@ __all__ = [
     "simhash_near_dups",
     "embedding_near_dups",
     "boilerplate_fraction",
+    "dedup_components",
 ]
 
 
@@ -429,3 +430,103 @@ def boilerplate_fraction(
             ).alias("boiler_frac"),
         )
     )
+
+
+def dedup_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs — the dedup
+    CLUSTERING step (every doc in a component keeps one representative).
+
+    Iterative min-label propagation: each node adopts the minimum label
+    among itself and its neighbors until fixpoint (component id = the
+    smallest doc id in the component). The driver loop is the Pregel
+    shape — iterations are bounded by graph diameter, and near-dup
+    graphs are shallow (clusters, not paths); ``max_iter`` is a safety
+    rail and convergence is detected by a changed-row count. At extreme
+    scale the large-star/small-star variant (Kiveris et al. 2014)
+    reduces rounds to O(log n) with the same join primitive; the
+    per-round plan here — edge ⨝ labels, min-aggregate, label join —
+    is identical. Output: (doc_id, component_id, component_size).
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    und = (
+        edges.union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    und.count()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                und.join(
+                    labels.select(
+                        F.col("node").alias("dst"),
+                        F.col("comp").alias("dst_comp"),
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("dst_comp").alias("nbr_min"))
+            )
+            # localCheckpoint (eager) truncates the logical plan each
+            # round: without it the nested plan grows per iteration and
+            # Catalyst analysis time blows up super-linearly (the
+            # standard iterative-DataFrame pitfall; production CC uses
+            # reliable checkpoint() to also cut lineage for recovery)
+            new_labels = (
+                labels.join(
+                    nbr.select(
+                        F.col("src").alias("node"), "nbr_min"
+                    ),
+                    "node",
+                    "left",
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("comp"),
+                        F.coalesce("nbr_min", F.col("comp")),
+                    ).alias("comp"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        sizes = labels.groupBy("comp").agg(
+            F.count("*").alias("component_size")
+        )
+        return (
+            labels.join(sizes, "comp")
+            .select(
+                F.col("node").alias("doc_id"),
+                F.col("comp").alias("component_id"),
+                "component_size",
+            )
+        )
+    finally:
+        und.unpersist()

@@ -659,6 +659,43 @@ where bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the MinHash+LSH
+    candidate pairs (iterative min-label propagation — the one genuinely
+    iterative algorithm in the registry; its oracle is a DuckDB
+    recursive CTE computing the same min-reachable-id labels)."""
+    from .operators.dedup import dedup_components
+
+    pairs = minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"),
+        NGRAM_N,
+        MINHASH_K,
+        MINHASH_BANDS,
+    )
+    return dedup_components(pairs)
+
+
+def _oracle_dedup_components() -> str:
+    # label m propagates along an edge to any node with id > m; the
+    # component minimum is smaller than every other member id, so it
+    # reaches all of them; UNION dedup bounds the recursion
+    return f"""
+with recursive pairs as (select * from ({_oracle_minhash()}) t),
+und as (select doc_a a, doc_b b from pairs
+        union select doc_b, doc_a from pairs),
+reach(node, m) as (
+  select a, a from und union select b, b from und
+  union
+  select und.b, reach.m from reach join und on und.a = reach.node
+  where reach.m < und.b),
+comp as (select node, min(m) comp_id from reach group by node),
+sizes as (select comp_id, count(*) component_size from comp group by comp_id)
+select comp.node::bigint doc_id, comp.comp_id::bigint component_id,
+  sizes.component_size::bigint component_size
+from comp join sizes using (comp_id)
+"""
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(
         load_table(spark, sf_dir, "embeddings"), EMB_NEAR_T, EMB_BLOCK
@@ -1007,6 +1044,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_components": q_dedup_components,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "text_profile": q_text_profile,
@@ -1067,6 +1105,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": _oracle_minhash(),
     "dedup_simhash": _oracle_simhash(),
     "dedup_simhash_pairs": _oracle_simhash_pairs(),
+    "dedup_components": _oracle_dedup_components(),
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "ann_topk": ORACLE_ANN_TOPK,
     "text_profile": _oracle_text_profile(),

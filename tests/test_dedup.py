@@ -136,3 +136,31 @@ class TestQualityFilter:
         assert out[3]["pass_symbol_ratio"] is False
         assert out[4]["pass_dup_lines"] is False
         assert out[5]["pass_alpha_words"] is False
+
+
+class TestComponents:
+    def test_chain_needs_multiple_iterations(self, spark):
+        """A path graph is the worst case for min-label propagation
+        (diameter = n-1); the loop must still converge to one component."""
+        from go_readability_spark.operators.dedup import dedup_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+        )
+        rows = {r["doc_id"]: r for r in dedup_components(pairs).collect()}
+        assert len(rows) == 10
+        assert all(r["component_id"] == 0 for r in rows.values())
+        assert all(r["component_size"] == 10 for r in rows.values())
+
+    def test_disjoint_components(self, spark):
+        from go_readability_spark.operators.dedup import dedup_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8), (20, 21), (21, 22), (20, 22)],
+            "doc_a long, doc_b long",
+        )
+        rows = {r["doc_id"]: (r["component_id"], r["component_size"])
+                for r in dedup_components(pairs).collect()}
+        assert rows[1] == rows[2] == rows[3] == (1, 3)
+        assert rows[7] == rows[8] == (7, 2)
+        assert rows[20] == rows[21] == rows[22] == (20, 3)
