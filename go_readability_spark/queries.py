@@ -984,20 +984,30 @@ REGION_NAME = "ASIA"
 
 
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-schema broadcast-join rollup over the TPC-H dims."""
-    return revenue_by_nation(
+    """Star-schema broadcast-join rollup over the TPC-H dims.
+
+    The sum is decimal-exact inside the aggregate; the OUTPUT surface is
+    cast to double like every other money column in the registry
+    (q_pricing_summary, q_events_hourly) — cross-engine decimal
+    representations hash differently even when the values are identical."""
+    out = revenue_by_nation(
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "nation"),
         load_table(spark, sf_dir, "region"),
         REGION_NAME,
     )
+    return out.select(
+        "n_name",
+        "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
+    )
 
 
 ORACLE_REVENUE_BY_NATION = f"""
 select n.n_name,
   count(*)::bigint n_orders,
-  sum(cast(o.o_totalprice as decimal(18,2)))::decimal(18,2) revenue
+  cast(sum(cast(o.o_totalprice as decimal(18,2))) as double) revenue
 from orders o
 join customer c on o.o_custkey = c.c_custkey
 join nation n on c.c_nationkey = n.n_nationkey
