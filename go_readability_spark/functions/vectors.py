@@ -14,12 +14,16 @@ per-partition top-k + driver merge, no full sort shuffle).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, functions as F
+from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "dot",
     "dot_sql",
     "cosine_similarity",
+    "cosine_similarity_pandas",
     "cosine_similarity_sql",
     "l2sq",
     "l2sq_sql",
@@ -68,6 +72,44 @@ def l2sq_sql(a: str, b: str) -> str:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(dot(a, a)) / F.sqrt(dot(b, b))
+
+
+def _np_fold_dot(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
+    """Row-wise dot as an explicit sequential left fold over the element
+    axis, vectorized across rows — the same IEEE double ops in the same
+    order as ``dot``'s F.aggregate and ``dot_sql``'s list_reduce, so the
+    results are bit-identical across all three forms."""
+    acc = np.zeros(x.shape[0], dtype=np.float64)
+    for d in range(x.shape[1]):
+        acc = acc + x[:, d] * y[:, d]
+    return acc
+
+
+def cosine_similarity_pandas(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine — the fast path for pair-verify joins.
+
+    Catalyst evaluates the ``cosine_similarity`` HOF lambdas interpreted
+    (~30 µs/element); on a candidate-pair join that is 3×dim interpreted
+    ops PER PAIR. This pandas UDF computes the identical fold (see
+    ``_np_fold_dot``; np.sqrt and the two divisions are the same
+    correctly-rounded IEEE ops in the same order), so values — and any
+    round(x, 6) applied downstream — match the Catalyst form and the
+    DuckDB oracle bit-for-bit (asserted by test_bucketing). The UDF is
+    built at call time: decorating at import would parse the DDL return
+    type, which needs an active SparkContext."""
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        x = np.stack(va.to_numpy()).astype(np.float64)
+        y = np.stack(vb.to_numpy()).astype(np.float64)
+        cos = _np_fold_dot(x, y) / np.sqrt(_np_fold_dot(x, x)) / np.sqrt(
+            _np_fold_dot(y, y)
+        )
+        return pd.Series(cos)
+
+    return _cos(a, b)
 
 
 def cosine_similarity_sql(a: str, b: str) -> str:

@@ -270,14 +270,21 @@ def embedding_near_dups_lsh(
     near-uniform hashing that is ~n²/2^n_planes. Approximate: pairs whose
     vectors land in different buckets are missed (recall tunable via
     n_planes and multiprobe; see similarity.ann_topk_lsh)."""
-    from ..functions.vectors import cosine_similarity
-    from .similarity import lsh_bucket_col
+    from ..functions.vectors import cosine_similarity_pandas
+    from .similarity import with_lsh_bucket
 
-    emb = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        lsh_bucket_col(F.col(vec_col), n_planes, dim).alias("bucket"),
-    )
+    # persisted + eagerly materialized: both self-join sides scan this —
+    # a lazy persist lets the sides race and compute the n_planes×dim
+    # bucket projection twice (the round-1 minhash lesson)
+    emb = with_lsh_bucket(
+        embeddings.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+        ),
+        "vec",
+        n_planes,
+        dim,
+    ).persist()
+    emb.count()
     a = emb.alias("a")
     b = emb.alias("b")
     return (
@@ -290,7 +297,7 @@ def embedding_near_dups_lsh(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
             F.round(
-                cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6
+                cosine_similarity_pandas(F.col("a.vec"), F.col("b.vec")), 6
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
@@ -308,7 +315,7 @@ def embedding_near_dups(
 
     Quadratic in the block size — callers bound it (``id_limit``) or use
     similarity.py's LSH-bucketed variant for full-corpus scale."""
-    from ..functions.vectors import cosine_similarity
+    from ..functions.vectors import cosine_similarity_pandas
 
     emb = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
@@ -323,7 +330,7 @@ def embedding_near_dups(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
             F.round(
-                cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6
+                cosine_similarity_pandas(F.col("a.vec"), F.col("b.vec")), 6
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)

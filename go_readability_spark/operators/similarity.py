@@ -16,7 +16,10 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.vectors import cosine_similarity
 
@@ -26,6 +29,7 @@ __all__ = [
     "ann_topk_ivf",
     "lsh_bucket_col",
     "lsh_bucket_sql",
+    "with_lsh_bucket",
 ]
 
 
@@ -73,7 +77,17 @@ def _hyperplanes(n_planes: int, dim: int, seed: str = "gr-spark-lsh"):
 
 
 def lsh_bucket_col(vec_col, n_planes: int, dim: int):
-    """Sign-projection bucket id (0..2^n_planes-1) for an embedding col."""
+    """Sign-projection bucket id (0..2^n_planes-1) for an embedding col.
+
+    Pure-Catalyst reference form (zip_with + aggregate). NOTE: Catalyst
+    evaluates higher-order-function lambdas interpreted (~30 µs/element,
+    outside whole-stage codegen), and unrolling the n_planes×dim
+    multiply-adds into literal expressions overflows janino's 64 KB
+    method limit inside WholeStageCodegen (a single projection cannot be
+    split across methods), which silently drops the WHOLE stage out of
+    codegen — measured slower than the interpreted lambdas. The fast
+    path is ``with_lsh_bucket`` (Arrow-vectorized numpy, bit-identical
+    fold); this form stays as the executable spec and parity anchor."""
     planes = _hyperplanes(n_planes, dim)
     bucket = F.lit(0)
     for p, row in enumerate(planes):
@@ -88,6 +102,40 @@ def lsh_bucket_col(vec_col, n_planes: int, dim: int):
         )
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str, n_planes: int, dim: int, out_col: str = "bucket"
+) -> DataFrame:
+    """Add the sign-projection bucket column — the fast path.
+
+    Arrow-batched pandas UDF over numpy: each projection is an explicit
+    sequential left fold over the element axis, vectorized across rows
+    (``acc = acc + x[:, d] * w[d]`` — the same IEEE double ops in the
+    same order as ``lsh_bucket_col``'s F.aggregate and the oracle's
+    list_reduce), so bucket ids are bit-identical across all three
+    forms (asserted by test_bucketing). At production scale this column
+    is computed once at ingest and stored partition-prunable; in-plan it
+    costs one Arrow exchange of the embedding column."""
+    weights = [
+        np.asarray(row, dtype=np.float64)
+        for row in _hyperplanes(n_planes, dim)
+    ]
+
+    @pandas_udf("int")
+    def _bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        out = np.zeros(len(v), dtype=np.int64)
+        for p, wp in enumerate(weights):
+            acc = np.zeros(len(v), dtype=np.float64)
+            for d in range(x.shape[1]):
+                acc = acc + x[:, d] * wp[d]
+            out += (acc >= 0).astype(np.int64) << p
+        return pd.Series(out.astype("int32"))
+
+    return df.withColumn(out_col, _bucket(F.col(vec_col)))
 
 
 def lsh_bucket_sql(vec_expr: str, n_planes: int, dim: int) -> str:
@@ -122,9 +170,7 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: restrict the scan to the query's LSH bucket
     (plus hamming-1 buckets when ``multiprobe``), then exact cosine."""
-    bucketed = embeddings.withColumn(
-        "bucket", lsh_bucket_col(F.col(vec_col), n_planes, dim)
-    )
+    bucketed = with_lsh_bucket(embeddings, vec_col, n_planes, dim)
     qrow = bucketed.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("qv"), F.col("bucket").alias("qbucket")
     )
@@ -175,12 +221,18 @@ def ann_topk_ivf(
     map-only assignment expression (at ingest the cell id would be a
     stored, partition-prunable column), and the probe is an equi-filter
     that prunes (K - nprobe)/K of the corpus before the exact rerank.
-    Assignment argmin is array_min over (distance, cid) structs —
-    lexicographic, ties to the smaller cid — with squared-L2 folded in
-    array order so the DuckDB oracle reproduces it bit-for-bit.
+    Assignment argmin ties go to the smaller cid, with squared-L2
+    folded in array order so the DuckDB oracle reproduces it
+    bit-for-bit. The assignment runs as an Arrow-vectorized numpy
+    pandas UDF (codebook closed over as an ndarray): the Catalyst HOF
+    form (array_min over structs of zip_with/aggregate distances) is
+    evaluated interpreted at ~K×dim lambda ops per row, and unrolling
+    it into literal expressions overflows janino's 64 KB method limit
+    inside WholeStageCodegen. The numpy fold is the identical sequence
+    of IEEE double ops (see with_lsh_bucket), and np.argmin returns the
+    FIRST minimum — the codebook is sorted by cid, so ties break to the
+    smaller cid exactly like the oracle's row_number order.
     """
-    from ..functions.vectors import l2sq
-
     # ONE driver action fetches the codebook AND the query vector (the
     # query vector then ships as literals with the centroids — no
     # per-invocation rescans of the source for single rows)
@@ -198,17 +250,24 @@ def ann_topk_ivf(
         if int(r["cid"]) == query_id
     )
 
-    def assign(vec):
-        entries = [
-            F.struct(
-                l2sq(
-                    vec, F.array(*[F.lit(x) for x in cvec])
-                ).alias("d"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cvec in cents
-        ]
-        return F.array_min(F.array(*entries))["cid"]
+    cmat = np.asarray([cvec for _, cvec in cents], dtype=np.float64)
+    cid_arr = np.asarray([cid for cid, _ in cents], dtype=np.int64)
+
+    @pandas_udf("int")
+    def _cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        n, d_dim = x.shape
+        dists = np.empty((n, len(cid_arr)), dtype=np.float64)
+        for j in range(len(cid_arr)):
+            acc = np.zeros(n, dtype=np.float64)
+            for d in range(d_dim):
+                diff = x[:, d] - cmat[j, d]
+                acc = acc + diff * diff
+            dists[:, j] = acc
+        idx = np.argmin(dists, axis=1)  # first min → smallest cid
+        return pd.Series(cid_arr[idx].astype("int32"))
 
     # the query's nprobe nearest cells, computed with the IDENTICAL
     # left-fold double arithmetic (python floats are the same doubles)
@@ -226,7 +285,7 @@ def ann_topk_ivf(
     ]
 
     qv_lit = F.array(*[F.lit(x) for x in qvec])
-    assigned = embeddings.withColumn("cid", assign(F.col(vec_col)))
+    assigned = embeddings.withColumn("cid", _cell(F.col(vec_col)))
     return (
         assigned.filter(
             F.col("cid").isin(probe_cids) & (F.col(id_col) != query_id)

@@ -88,3 +88,44 @@ class TestEmbeddingLsh:
         )
         n_buckets = buckets.distinct().count()
         assert 2 <= n_buckets <= 64
+
+    def test_pandas_bucket_matches_catalyst(self, spark):
+        """The Arrow-vectorized fast path (with_lsh_bucket) must agree
+        bucket-for-bucket with the pure-Catalyst reference fold."""
+        from go_readability_spark.operators.similarity import (
+            lsh_bucket_col,
+            with_lsh_bucket,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        rows = (
+            with_lsh_bucket(emb, "embedding", 6, 64, out_col="fast")
+            .withColumn("ref", lsh_bucket_col(F.col("embedding"), 6, 64))
+            .filter(F.col("fast") != F.col("ref"))
+            .count()
+        )
+        assert rows == 0
+
+    def test_pandas_cosine_matches_catalyst(self, spark):
+        """cosine_similarity_pandas must be bit-identical to the
+        Catalyst HOF fold (same IEEE ops in the same order)."""
+        from go_readability_spark.functions.vectors import (
+            cosine_similarity,
+            cosine_similarity_pandas,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+            "vec_id < 80"
+        )
+        a = emb.select(
+            F.col("vec_id").alias("ia"), F.col("embedding").alias("va")
+        )
+        b = emb.select(
+            F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")
+        )
+        pairs = a.join(b, F.col("ia") < F.col("ib"))
+        mismatches = pairs.select(
+            cosine_similarity(F.col("va"), F.col("vb")).alias("ref"),
+            cosine_similarity_pandas(F.col("va"), F.col("vb")).alias("fast"),
+        ).filter(F.col("ref") != F.col("fast")).count()
+        assert mismatches == 0
