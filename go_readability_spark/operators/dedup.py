@@ -439,101 +439,204 @@ def boilerplate_fraction(
     )
 
 
+def _persistent_rdd_ids(sc) -> set:
+    """Ids of currently persisted RDDs (includes localCheckpoint blocks,
+    which live outside the catalog cache — clearCache never frees them)."""
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _unpersist_rdd_ids(sc, ids) -> None:
+    m = sc._jsc.getPersistentRDDs()
+    for k in list(m.keySet().toArray()):
+        if int(k) in ids:
+            m.get(k).unpersist(False)
+
+
 def dedup_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs — the dedup
-    CLUSTERING step (every doc in a component keeps one representative).
+    CLUSTERING step (every doc in a component keeps one representative;
+    component id = the smallest doc id in the component).
 
-    Iterative min-label propagation: each node adopts the minimum label
-    among itself and its neighbors until fixpoint (component id = the
-    smallest doc id in the component). The driver loop is the Pregel
-    shape — iterations are bounded by graph diameter, and near-dup
-    graphs are shallow (clusters, not paths); ``max_iter`` is a safety
-    rail and convergence is detected by a changed-row count. At extreme
-    scale the large-star/small-star variant (Kiveris et al. 2014)
-    reduces rounds to O(log n) with the same join primitive; the
-    per-round plan here — edge ⨝ labels, min-aggregate, label join —
-    is identical. Output: (doc_id, component_id, component_size).
+    Alternating large-star/small-star (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond", Alg. 3): each round rewires
+    every node's larger neighbors to its neighborhood minimum
+    (large-star), then its smaller neighbors to theirs (small-star).
+    Rounds are O(log n) — not O(diameter) like plain min-label
+    propagation, which a chain-shaped near-dup graph (templated page
+    series) can push past any fixed iteration cap. At fixpoint the edge
+    set is a forest of min-rooted stars, so labels fall out of one
+    neighborhood-min pass.
+
+    Per-round cost: two shuffle pairs (groupBy-min + equi-join), both
+    keyed on node id. Convergence is detected with ZERO extra jobs per
+    round: an ``Observation`` collects an edge-set signature (count +
+    endpoint sums + hash sum) DURING the job that materializes the
+    round's edges, and only when two consecutive signatures match does
+    an exact symmetric-difference check confirm the fixpoint (a
+    signature collision can only cost that one extra check, never a
+    wrong result). Each round is ``localCheckpoint``-ed to truncate the
+    logical plan (Catalyst analysis otherwise grows super-linearly);
+    the PREVIOUS round's checkpoint blocks are explicitly freed via the
+    persistent-RDD registry, which ``spark.catalog.clearCache()`` does
+    not cover. The returned DataFrame is self-contained (checkpointed
+    result, bounded by the output size), so every per-round
+    intermediate is already released when this returns.
+
+    Raises RuntimeError if ``max_iter`` rounds pass without reaching
+    the fixpoint (wrong labels must not be returned silently).
+
+    ``stats`` (optional dict) receives {"rounds": int} for tests.
+    Output: (doc_id, component_id, component_size).
     """
-    edges = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    from pyspark.sql import Observation
+
+    spark = pairs.sparkSession
+    sc = spark.sparkContext
+    base_ids = _persistent_rdd_ids(sc)  # pre-existing persists: not ours
+    created: set = set()
+
+    def _checkpoint(df: DataFrame) -> tuple:
+        before = _persistent_rdd_ids(sc)
+        out = df.localCheckpoint(eager=True)
+        ids = (_persistent_rdd_ids(sc) - before) - base_ids
+        created.update(ids)
+        return out, ids
+
+    # canonical undirected edges (a < b), self-loops dropped
+    raw = pairs.select(
+        F.col(a_col).cast("long").alias("x"),
+        F.col(b_col).cast("long").alias("y"),
+    ).filter(F.col("x") != F.col("y"))
+    edges, _ = _checkpoint(
+        raw.select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        ).distinct()
     )
-    und = (
-        edges.union(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        )
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
         .distinct()
         .persist()
     )
-    und.count()
-    labels = (
-        und.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .persist()
-    )
-    labels.count()
+    nodes.count()
+
+    prev_sig = None
+    prev_ids: set = set()
+    converged = False
+    rounds = 0
     try:
-        for _ in range(max_iter):
-            nbr = (
-                und.join(
-                    labels.select(
-                        F.col("node").alias("dst"),
-                        F.col("comp").alias("dst_comp"),
-                    ),
-                    "dst",
-                )
-                .groupBy("src")
-                .agg(F.min("dst_comp").alias("nbr_min"))
+        for rounds in range(1, max_iter + 1):
+            sym = edges.select(
+                F.col("a").alias("src"), F.col("b").alias("dst")
+            ).union(
+                edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
             )
-            # localCheckpoint (eager) truncates the logical plan each
-            # round: without it the nested plan grows per iteration and
-            # Catalyst analysis time blows up super-linearly (the
-            # standard iterative-DataFrame pitfall; production CC uses
-            # reliable checkpoint() to also cut lineage for recovery)
-            new_labels = (
-                labels.join(
-                    nbr.select(
-                        F.col("src").alias("node"), "nbr_min"
-                    ),
-                    "node",
-                    "left",
-                )
+            # large-star: u's neighbors v > u rewire to min(N(u) ∪ {u});
+            # m = least(src, min(dst)) ≤ src < dst keeps (m, dst) canonical
+            mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+            ls = (
+                sym.join(mins, "src")
+                .filter(F.col("dst") > F.col("src"))
                 .select(
-                    "node",
-                    F.least(
-                        F.col("comp"),
-                        F.coalesce("nbr_min", F.col("comp")),
-                    ).alias("comp"),
+                    F.least("src", "mn").alias("a"), F.col("dst").alias("b")
                 )
-                .localCheckpoint(eager=True)
+                .distinct()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
+            # small-star: key by the LARGER endpoint (src=b); all its
+            # smaller neighbors — and itself — rewire to min(N ∪ {u})
+            e2 = ls.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+            mins2 = e2.groupBy("src").agg(F.min("dst").alias("mn"))
+            ss = (
+                e2.join(mins2, "src")
+                .select(F.col("mn").alias("a"), F.col("dst").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .union(
+                    mins2.select(
+                        F.col("mn").alias("a"), F.col("src").alias("b")
+                    )
+                )
+                .distinct()
             )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
+            obs = Observation()
+            # decimal(38,0) sums: exact and overflow-free under ANSI
+            # mode (a long sum of xxhash64 values overflows immediately)
+            observed = ss.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
+                F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
+                F.sum(
+                    F.xxhash64("a", "b").cast("decimal(38,0)")
+                ).alias("h"),
+            )
+            new_edges, new_ids = _checkpoint(observed)
+            m = obs.get
+            sig = (m["n"], m["sa"], m["sb"], m["h"])
+            if sig == prev_sig:
+                # exact confirmation — only ever runs at candidate
+                # convergence, so it is once per call, not per round
+                diff = new_edges.exceptAll(edges).union(
+                    edges.exceptAll(new_edges)
+                )
+                if diff.isEmpty():
+                    _unpersist_rdd_ids(sc, new_ids)
+                    converged = True
+                    break
+            _unpersist_rdd_ids(sc, prev_ids)
+            prev_ids = new_ids
+            edges = new_edges
+            prev_sig = sig
+        if not converged:
+            raise RuntimeError(
+                f"dedup_components did not converge in {max_iter} "
+                "large-star/small-star rounds — labels would be wrong; "
+                "raise max_iter"
+            )
+        if stats is not None:
+            stats["rounds"] = rounds
+        # fixpoint = min-rooted star forest: every node's component is
+        # the min of itself and its neighbors (the root for leaves, the
+        # node itself for roots); nodes is the ORIGINAL node set, so
+        # membership survives even if an edge rewire dropped a node
+        adj = edges.select(
+            F.col("a").alias("node"), F.col("b").alias("other")
+        ).union(
+            edges.select(F.col("b").alias("node"), F.col("a").alias("other"))
+        )
+        lbl = adj.groupBy("node").agg(F.min("other").alias("mn"))
+        labels = nodes.join(lbl, "node", "left").select(
+            "node",
+            F.least(
+                F.col("node"), F.coalesce("mn", F.col("node"))
+            ).alias("comp"),
+        )
         sizes = labels.groupBy("comp").agg(
             F.count("*").alias("component_size")
         )
-        return (
-            labels.join(sizes, "comp")
-            .select(
+        result, result_ids = _checkpoint(
+            labels.join(sizes, "comp").select(
                 F.col("node").alias("doc_id"),
                 F.col("comp").alias("component_id"),
                 "component_size",
             )
         )
+        return result
     finally:
-        und.unpersist()
+        # Own the whole persist lifecycle: free every checkpoint WE
+        # created (clearCache never covers localCheckpoint blocks)
+        # except the returned result's own — the result is therefore
+        # self-contained and bounded by the output size. base_ids
+        # (persists that existed before we started, e.g. an upstream
+        # operator's) are never touched.
+        nodes.unpersist()
+        try:
+            keep = result_ids  # noqa: F821 — defined iff converged
+        except NameError:
+            keep = set()
+        _unpersist_rdd_ids(sc, (created & _persistent_rdd_ids(sc)) - keep)

@@ -661,9 +661,10 @@ where bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: connected components over the MinHash+LSH
-    candidate pairs (iterative min-label propagation — the one genuinely
-    iterative algorithm in the registry; its oracle is a DuckDB
-    recursive CTE computing the same min-reachable-id labels)."""
+    candidate pairs (alternating large-star/small-star, O(log n) rounds
+    — the one genuinely iterative algorithm in the registry; its oracle
+    is a DuckDB recursive CTE computing the same min-reachable-id
+    labels, so the iterative algorithm is value-verified)."""
     from .operators.dedup import dedup_components
 
     pairs = minhash_lsh_candidates(

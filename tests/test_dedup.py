@@ -164,3 +164,92 @@ class TestComponents:
         assert rows[1] == rows[2] == rows[3] == (1, 3)
         assert rows[7] == rows[8] == (7, 2)
         assert rows[20] == rows[21] == rows[22] == (20, 3)
+
+    def test_worst_case_chain_converges_in_log_rounds(self, spark):
+        """A 256-node path graph: O(diameter) min-label propagation
+        needs 255 rounds; large-star/small-star must finish in
+        O(log2 n) + c — the scale property the operator claims."""
+        import math
+
+        from go_readability_spark.operators.dedup import dedup_components
+
+        n = 256
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+        )
+        stats: dict = {}
+        rows = {
+            r["doc_id"]: r
+            for r in dedup_components(pairs, stats=stats).collect()
+        }
+        assert len(rows) == n
+        assert all(r["component_id"] == 0 for r in rows.values())
+        assert all(r["component_size"] == n for r in rows.values())
+        assert stats["rounds"] <= int(math.log2(n)) + 4
+
+    def test_random_graphs_match_bruteforce(self, spark):
+        """Randomized cross-check: star-algorithm labels equal a
+        driver-side union-find ground truth on arbitrary graphs."""
+        import random
+
+        from go_readability_spark.operators.dedup import dedup_components
+
+        rng = random.Random(42)
+        for trial in range(3):
+            n = 60
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            touched = sorted({v for e in edges for v in e})
+            truth = {v: find(v) for v in touched}
+            pairs = spark.createDataFrame(
+                edges, "doc_a long, doc_b long"
+            )
+            got = {
+                r["doc_id"]: r["component_id"]
+                for r in dedup_components(pairs).collect()
+            }
+            assert got == truth, f"trial {trial}"
+
+    def test_nonconvergence_raises(self, spark):
+        from go_readability_spark.operators.dedup import dedup_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup_components(pairs, max_iter=1).count()
+
+    def test_checkpoint_blocks_released(self, spark):
+        """The operator owns its persist lifecycle: after collecting the
+        result, only the result's own checkpoint blocks may remain."""
+        from go_readability_spark.operators.dedup import (
+            _persistent_rdd_ids,
+            _unpersist_rdd_ids,
+            dedup_components,
+        )
+
+        sc = spark.sparkContext
+        before = _persistent_rdd_ids(sc)
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+        )
+        out = dedup_components(pairs)
+        assert out.count() == 41
+        leftover = _persistent_rdd_ids(sc) - before
+        # the self-contained result = exactly one checkpointed RDD
+        assert len(leftover) <= 1
+        _unpersist_rdd_ids(sc, leftover)
