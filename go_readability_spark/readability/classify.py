@@ -30,9 +30,12 @@ __all__ = [
 PAGE_TYPE_ARTICLE = "article"
 PAGE_TYPE_OTHER = "other"
 
-_DIGIT_ONLY = re.compile(r"^\d+$")
+# [0-9], not \d: Go's regexp \d is ASCII-only while Python's matches
+# Unicode digits — a URL segment of full-width or Arabic-Indic digits
+# must classify as その他/other here exactly as in classify.go
+_DIGIT_ONLY = re.compile(r"^[0-9]+$")
 _ALPHA_NUMERIC = re.compile(r"^[a-zA-Z0-9-_]+$")
-_HAS_DIGIT = re.compile(r"\d")
+_HAS_DIGIT = re.compile(r"[0-9]")
 _TOP_LEVEL = re.compile(r"^https?://[^/]+/?$")
 _USER_PAGE = re.compile(r"^https?://[^/]+/[^/]+/?$")
 _THREE_DEPTH = re.compile(r"^https?://[^/]+/[^/]+/[^/]+/[^/]*$")

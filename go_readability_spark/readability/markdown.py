@@ -25,11 +25,16 @@ _SPACE_RUN = re.compile(r"[ \t]+")
 _MD_SPECIAL = re.compile(r"([*_\[\]\\`])")
 _BACKTICK_RUN = re.compile(r"`+")
 _ONLY_BACKTICKS = re.compile(r"^`+$")
-_WS_END = re.compile(r"\s$")
-_WS_START = re.compile(r"^\s")
+# GOWS, not \s: Go's RE2 \s is the ASCII class [\t\n\f\r ] while
+# Python's matches \v and Unicode whitespace (NBSP etc.) — web text hits
+# the difference (markdown.go:61-63, :260)
+from .regexps import GOWS  # noqa: E402
+
+_WS_END = re.compile(GOWS + r"$")
+_WS_START = re.compile(r"^" + GOWS)
 _PUNCT = re.compile(r"[.,!?;:)]")
 _LANG_CLASS = re.compile(r"language-([a-zA-Z0-9_-]+)")
-_CODE_EDGES = re.compile(r"^\s*\n|\s+$")
+_CODE_EDGES = re.compile(r"^" + GOWS + r"*\n|" + GOWS + r"+$")
 _TRAILING_NL = re.compile(r"\n+$")
 _MANY_NL = re.compile(r"\n{3,}")
 

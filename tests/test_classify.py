@@ -121,3 +121,7 @@ def test_analyze_url_pattern():
     assert analyze_url_pattern("https://ex.com/post-2024") == "英数字混合 (post-2024)"
     assert analyze_url_pattern("https://ex.com/about") == "英字のみ (about)"
     assert analyze_url_pattern("https://ex.com/ページ") == "その他 (ページ)"
+    # Go regexp \d is ASCII-only: full-width / Arabic-Indic digit
+    # segments are その他, not 数字のみ (Python \d would match them)
+    assert analyze_url_pattern("https://ex.com/１２３４５") == "その他 (１２３４５)"
+    assert analyze_url_pattern("https://ex.com/٣٤٥") == "その他 (٣٤٥)"

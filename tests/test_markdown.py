@@ -219,6 +219,14 @@ class TestJoinParts:
     def test_skip_empty_parts(self):
         assert _join_parts(["Hello", "", "  ", "world"]) == "Hello world"
 
+    def test_nbsp_is_not_go_whitespace(self):
+        """Go RE2 \\s is ASCII [\\t\\n\\f\\r ]: a part ending in NBSP
+        does NOT count as whitespace-terminated, so a separating space
+        is still inserted (markdown.go:61-63). Python's \\s would have
+        matched the NBSP and swallowed the space."""
+        assert _join_parts(["Hello\u00a0", "world"]) == "Hello\u00a0 world"
+        assert _join_parts(["Hello", "\u00a0world"]) == "Hello \u00a0world"
+
     def test_inline_code_delimiters(self):
         assert md("<p>has <code>a`b</code> ticks</p>") == "has ``a`b`` ticks"
         assert md("<p><code>`</code></p>") == "`` ` ``"
