@@ -6,14 +6,16 @@ Prints ONE JSON line:
 
 Env:
   SPARK_GRAFT_SF_DIR      input tables (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS        local[] core count (default 16 — the host
+  SPARK_GRAFT_CPUS        requested core budget (default 16). The
+                          session runs at min(requested, 16): the host
                           advertises 32 logical CPUs but delivers ~16
                           effective cores (SMT/oversubscription; see
                           BENCH.md host-capacity control), and the
                           measured optimum is 16 threads: 3,028 docs/s
                           vs 2,395 at 32. Sizing executor slots to
                           physical cores is the same call a real
-                          cluster deployment makes.)
+                          cluster deployment makes. The JSON records
+                          cpus_env (requested) and cpus_used per run.
   SPARK_GRAFT_BENCH_DOCS  synthetic corpus size (default 6000)
   SPARK_GRAFT_BENCH_SKIP_QUERIES  "1" → only the extraction benchmark
 
@@ -36,7 +38,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    cpus_env = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    # The host advertises 32 logical CPUs but delivers ~16 effective
+    # cores (SMT/oversubscription — BENCH.md host-capacity control), and
+    # 16 threads measurably beat 32 (3,028 vs 2,395 docs/s). Size the
+    # session to the measured optimum, never above what was asked for;
+    # BOTH counts are recorded per-figure so driver rounds stay
+    # comparable whatever env they pass.
+    cpus = min(cpus_env, 16)
     n_bench = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "6000"))
     skip_queries = os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES") == "1"
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -125,6 +134,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # every figure in this JSON (headline + per-query) was measured
+        # at cpus_used executor threads; cpus_env is what the caller
+        # requested (see sizing note in main)
+        "cpus_env": cpus_env,
+        "cpus_used": cpus,
         "extraction": {
             "walls_sec": [round(w, 2) for w in walls],
             "n_docs": n_docs,

@@ -141,10 +141,12 @@ def quality_filter(
     toks = tokens(F.col(text_col))
     n_words = ws_token_count(F.col(text_col))
     # mean word length over the words themselves (not chars/words — that
-    # would count whitespace); left as exact double quotient
-    total_word_chars = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
-    )
+    # would count whitespace); left as exact double quotient.
+    # Σ length(token) == length(concat of tokens) — an exact integer
+    # identity that swaps the interpreted per-token aggregate() lambda
+    # (~30 µs/element, outside whole-stage codegen) for one codegen'd
+    # concat_ws+length
+    total_word_chars = F.length(F.concat_ws("", toks))
     mean_wl = total_word_chars / F.greatest(n_words, F.lit(1)).cast("double")
     text_nn = F.coalesce(F.col(text_col), F.lit(""))
     n_hash = F.size(F.regexp_extract_all(text_nn, F.lit(r"#"), 0))
@@ -152,8 +154,12 @@ def quality_filter(
     denom_w = F.greatest(n_words, F.lit(1)).cast("double")
     hash_ratio = n_hash / denom_w
     ellipsis_ratio = n_ellipsis / denom_w
+    # tokens-containing-a-letter counted directly on the text: \S runs
+    # are exactly the \s+-split tokens, and a run yields one match iff
+    # it contains a letter — same count as the filter(rlike) HOF without
+    # the interpreted per-token lambda
     n_alpha_words = F.size(
-        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+        F.regexp_extract_all(text_nn, F.lit(r"\S*[A-Za-z]\S*"), 0)
     )
     alpha_frac = n_alpha_words / F.greatest(n_words, F.lit(1)).cast("double")
     lines = F.filter(

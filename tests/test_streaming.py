@@ -7,6 +7,8 @@ import pytest
 
 pyspark = pytest.importorskip("pyspark")
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from go_readability_spark.sources.tables import corpus_df  # noqa: E402
 from go_readability_spark.streaming import (  # noqa: E402
     run_extract_stream,
@@ -232,3 +234,68 @@ class TestStatefulSessionize:
             for r in spark.read.parquet(out).collect()
         ]
         assert rows == [(0, 40, 3)]
+
+    def test_stream_sessionize_matches_batch_oracle(self, spark, tmp_path):
+        """Value-level oracle for the stateful operator: drain the REAL
+        sf0.01 events table through stream_sessionize (availableNow,
+        with a far-future sentinel event forcing every real session
+        final), aggregate the closed sessions per user, and compare
+        against the batch ``sessionize`` operator on the same events —
+        the same gate the registry's DuckDB oracle gives batch queries."""
+        import datetime as dt
+
+        from go_readability_spark.operators.relational import sessionize
+        from go_readability_spark.streaming import stream_sessionize
+
+        events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        inp = str(tmp_path / "or_in")
+        out = str(tmp_path / "or_out")
+        ckpt = str(tmp_path / "or_ckpt")
+        events.coalesce(4).write.mode("append").parquet(inp)
+        # sentinel: one event far past max(ts) so the no-data batch's
+        # watermark (max_ts - delay) clears every real close boundary;
+        # its own session stays pending -> never emitted
+        max_ts = events.agg(F.max("ts")).first()[0]
+        sentinel_user = -1
+        spark.createDataFrame(
+            [
+                (
+                    10**9,
+                    max_ts + dt.timedelta(days=30),
+                    sentinel_user,
+                    "sentinel",
+                    0.0,
+                    "{}",
+                )
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+        q = (
+            stream_sessionize(spark, inp, gap_minutes=30, watermark="1 minute")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        streamed = {
+            (r["user_id"], r["n_sessions"], r["n_events"], r["max_session_events"])
+            for r in spark.read.parquet(out)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_sessions"),
+                F.sum("n_events").alias("n_events"),
+                F.max("n_events").alias("max_session_events"),
+            )
+            .collect()
+        }
+        batch = {
+            (r["user_id"], r["n_sessions"], r["n_events"], r["max_session_events"])
+            for r in sessionize(events).collect()
+        }
+        assert streamed == batch
