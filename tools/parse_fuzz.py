@@ -124,6 +124,40 @@ def gen_doc(rng: random.Random, max_tokens: int = 120) -> str:
     return "".join(out)
 
 
+def classify_fixpoint_divergence(s1: str, s2: str) -> str:
+    """Bucket a serialize→reparse divergence by what the REPARSE did at
+    the first differing token. Every observed class is one root cause —
+    the WHATWG foster-parenting × implied-end interplay (see
+    PARSE_PARITY.md catalogue): parse 1 foster-parents an implied-end
+    trigger (<li>/<td>/text) out of an open <table>, which removes the
+    table from between the trigger and the element it would close; the
+    reparse therefore applies the implied close that the table blocked
+    the first time.
+
+      li-reclose    reparse closes an open <li>/<dt>/<dd>
+      cell-reclose  reparse closes an open <td>/<th> (stray-cell case)
+      text-reorder  foster-parented character data lands elsewhere
+    """
+    n = min(len(s1), len(s2))
+    i = 0
+    while i < n and s1[i] == s2[i]:
+        i += 1
+    w2 = s2[s2.rfind("<", 0, i + 1):][:300]
+    # the implied close emits a RUN of end tags, innermost first (closing
+    # <li> also closes any formatting/blocks still open inside it);
+    # collect the run and look for the re-closed trigger element in it
+    run = []
+    while w2.startswith("</"):
+        j = w2.index(">")
+        run.append(w2[2:j])
+        w2 = w2[j + 1:]
+    if "td" in run or "th" in run:
+        return "cell-reclose"
+    if "li" in run or "dt" in run or "dd" in run:
+        return "li-reclose"
+    return "text-reorder"
+
+
 def span_sequence(html: str):
     """Parse + extract; return the output span tuples (kind, ref, md5)."""
     from go_readability_spark.readability import ReadabilityOptions, extract
@@ -161,6 +195,8 @@ def main() -> int:
         "seed": args.seed,
         "parse_errors": 0,
         "fixpoint_violations": 0,
+        "fixpoint_classes": {},
+        "fixpoint_depth2_stable": 0,
         "extract_errors": 0,
         "span_order_violations": 0,
         "go_diffs": None,
@@ -179,7 +215,17 @@ def main() -> int:
         s2 = serialize_document_to_html(parse_html(s1))
         if s1 != s2:
             stats["fixpoint_violations"] += 1
-            failures.append({"i": i, "kind": "fixpoint", "html": html, "s1": s1, "s2": s2})
+            cls = classify_fixpoint_divergence(s1, s2)
+            stats["fixpoint_classes"][cls] = stats["fixpoint_classes"].get(cls, 0) + 1
+            # the reparse output must itself be a fixpoint (depth-2
+            # convergence): one normalization round, never oscillation
+            s3 = serialize_document_to_html(parse_html(s2))
+            if s2 == s3:
+                stats["fixpoint_depth2_stable"] += 1
+            failures.append(
+                {"i": i, "kind": "fixpoint", "class": cls,
+                 "depth2_stable": s2 == s3, "html": html, "s1": s1, "s2": s2}
+            )
         try:
             seq = span_sequence(html)
             orders = [t[0] for t in seq]
