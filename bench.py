@@ -44,8 +44,12 @@ def main() -> None:
     # 16 threads measurably beat 32 (3,028 vs 2,395 docs/s). Size the
     # session to the measured optimum, never above what was asked for;
     # BOTH counts are recorded per-figure so driver rounds stay
-    # comparable whatever env they pass.
-    cpus = min(cpus_env, 16)
+    # comparable whatever env they pass. SPARK_GRAFT_CPUS_NOCAP=1
+    # disables the cap for runs whose POINT is the thread count
+    # (tools/scaling_bench.py pairs must run at exactly the requested
+    # parallelism or the N->4N efficiency ratio is computed on a lie).
+    nocap = os.environ.get("SPARK_GRAFT_CPUS_NOCAP") == "1"
+    cpus = cpus_env if nocap else min(cpus_env, 16)
     n_bench = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "6000"))
     skip_queries = os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES") == "1"
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -29,6 +29,11 @@ def run_bench(cpus: int, n_docs: int) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
+        # the pair MUST run at exactly the requested parallelism —
+        # bench.py's effective-core cap (min(req,16)) would otherwise
+        # silently turn an 8->32 pair into 8->16 while the efficiency
+        # formula still divides by 4
+        SPARK_GRAFT_CPUS_NOCAP="1",
         SPARK_GRAFT_BENCH_DOCS=str(n_docs),
         SPARK_GRAFT_BENCH_SKIP_QUERIES="1",
     )
@@ -41,7 +46,14 @@ def run_bench(cpus: int, n_docs: int) -> dict:
         cwd=REPO,
     )
     line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    r = json.loads(line)
+    used = r.get("cpus_used", cpus)
+    if used != cpus:
+        raise RuntimeError(
+            f"bench ran at {used} threads, not the requested {cpus}; "
+            "efficiency ratio would be meaningless"
+        )
+    return r
 
 
 def main() -> None:
