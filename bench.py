@@ -110,12 +110,21 @@ def main() -> None:
         # recorded one query at 15x its quiet-window cost); the minimum
         # is the standard robust estimator under asymmetric noise
         q_repeats = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "2"))
+        from go_readability_spark.plans import persist_scope
+
         for name, fn in queries().items():
             best = None
             for _ in range(max(q_repeats, 1)):
                 t = time.time()
                 try:
-                    fn(spark, sf_dir).count()
+                    # operators persist intermediates (shingles, LSH
+                    # buckets, checkpoint blocks) their plans reference;
+                    # the scope frees them — including localCheckpoint
+                    # blocks clearCache never touches — so the loop's
+                    # storage footprint stays bounded and repeats start
+                    # cold
+                    with persist_scope(spark):
+                        fn(spark, sf_dir).count()
                     el = round(time.time() - t, 3)
                     best = el if best is None else min(best, el)
                 except Exception as exc:  # noqa: BLE001
@@ -124,12 +133,6 @@ def main() -> None:
                     best = best if best is not None else -1.0
                     print(f"# query {name} failed: {exc}", file=sys.stderr)
                     break
-                finally:
-                    # operators persist intermediates (shingles, LSH
-                    # buckets, pipeline text) scoped to their own
-                    # execution — release them so the loop's storage
-                    # footprint stays bounded and repeats start cold
-                    spark.catalog.clearCache()
             timings[name] = best
 
     result = {

@@ -15,10 +15,13 @@ engines share constants):
 
 Persist lifecycle: ngram_jaccard_pairs, minhash_lsh_candidates,
 simhash_near_dups, and boilerplate_fraction persist (and eagerly
-materialize) intermediates their
-returned plans reference — the caller releases them with
-``spark.catalog.clearCache()`` after materializing (bench.py does; the
-driver's one-shot query runs exit the session anyway).
+materialize) intermediates their returned plans reference — the
+persist must outlive the returned plan, so the operator cannot free
+it. Callers own the release: wrap query + materialization in
+``plans.cache.persist_scope(spark)`` (bench.py does), which also frees
+localCheckpoint blocks that ``spark.catalog.clearCache()`` never
+touches; dedup_components frees its own per-round checkpoints either
+way. One-shot sessions (the driver's query runs) exit the JVM anyway.
 
 Scale notes: the shingle-explode join is the dominant cost; its key
 distribution is zipfian, so very frequent shingles (stop-shingles) are the
@@ -34,6 +37,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.hashing import band_hash, md5_prefix_hash
 from ..functions.text import norm_fingerprint, tokens
+from ..plans.cache import (
+    persistent_rdd_ids as _persistent_rdd_ids,
+    unpersist_rdd_ids as _unpersist_rdd_ids,
+)
 
 __all__ = [
     "dedup_exact",
@@ -437,19 +444,6 @@ def boilerplate_fraction(
             ).alias("boiler_frac"),
         )
     )
-
-
-def _persistent_rdd_ids(sc) -> set:
-    """Ids of currently persisted RDDs (includes localCheckpoint blocks,
-    which live outside the catalog cache — clearCache never frees them)."""
-    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
-
-
-def _unpersist_rdd_ids(sc, ids) -> None:
-    m = sc._jsc.getPersistentRDDs()
-    for k in list(m.keySet().toArray()):
-        if int(k) in ids:
-            m.get(k).unpersist(False)
 
 
 def dedup_components(

@@ -1,5 +1,6 @@
 """Physical-plan helpers: session config, skew handling, checkpoint/resume."""
 
+from .cache import persist_scope  # noqa: F401
 from .checkpoint import (  # noqa: F401
     mark_partition_done,
     read_manifest,

@@ -253,3 +253,42 @@ class TestComponents:
         # the self-contained result = exactly one checkpointed RDD
         assert len(leftover) <= 1
         _unpersist_rdd_ids(sc, leftover)
+
+
+def test_persist_scope_frees_operator_persists(spark):
+    """persist_scope gives callers ownership of the eager persists the
+    self-joining operators create (which must outlive their returned
+    plan, so the operators themselves can never free them) — including
+    localCheckpoint blocks clearCache never touches."""
+    from go_readability_spark.operators.dedup import (
+        dedup_components,
+        minhash_lsh_candidates,
+    )
+    from go_readability_spark.plans import persist_scope
+    from go_readability_spark.plans.cache import persistent_rdd_ids
+
+    sc = spark.sparkContext
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3)
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    before = persistent_rdd_ids(sc)
+    with persist_scope(spark):
+        pairs = minhash_lsh_candidates(docs)
+        assert pairs.count() > 0          # materialized inside the scope
+        comp = dedup_components(pairs.selectExpr(
+            "cast(doc_a as long) doc_a", "cast(doc_b as long) doc_b"))
+        assert comp.count() > 0
+        assert persistent_rdd_ids(sc) - before  # persists exist in-scope
+    assert persistent_rdd_ids(sc) - before == set()  # all freed on exit
+
+    # pre-existing persists are NOT the scope's to free
+    keep = docs.persist()
+    keep.count()
+    held = persistent_rdd_ids(sc) - before
+    assert held
+    with persist_scope(spark):
+        minhash_lsh_candidates(docs).count()
+    assert held <= persistent_rdd_ids(sc)
+    keep.unpersist()
