@@ -100,14 +100,33 @@ def cosine_similarity_pandas(a: Column, b: Column) -> Column:
 
     @pandas_udf("double")
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if len(va) == 0:
+        n = len(va)
+        if n == 0:
             return pd.Series([], dtype="float64")
-        x = np.stack(va.to_numpy()).astype(np.float64)
-        y = np.stack(vb.to_numpy()).astype(np.float64)
-        cos = _np_fold_dot(x, y) / np.sqrt(_np_fold_dot(x, x)) / np.sqrt(
-            _np_fold_dot(y, y)
-        )
-        return pd.Series(cos)
+        xa, xb = va.to_numpy(), vb.to_numpy()
+        # pairs of unequal length: the Catalyst zip_with reference
+        # null-pads, poisoning the fold to a NULL cosine (which a
+        # downstream `cos >= t` filter then DROPS — unlike NaN, which
+        # Spark's total ordering would keep). Emit real nulls for them.
+        lens_a = np.fromiter((len(v) for v in xa), dtype=np.int64, count=n)
+        lens_b = np.fromiter((len(v) for v in xb), dtype=np.int64, count=n)
+        ok = lens_a == lens_b
+        if ok.all():
+            x = np.stack(xa).astype(np.float64)
+            y = np.stack(xb).astype(np.float64)
+            cos = _np_fold_dot(x, y) / np.sqrt(_np_fold_dot(x, x)) / np.sqrt(
+                _np_fold_dot(y, y)
+            )
+            return pd.Series(cos)
+        out = pd.array([None] * n, dtype="Float64")
+        if ok.any():
+            x = np.stack(xa[ok]).astype(np.float64)
+            y = np.stack(xb[ok]).astype(np.float64)
+            cos = _np_fold_dot(x, y) / np.sqrt(_np_fold_dot(x, x)) / np.sqrt(
+                _np_fold_dot(y, y)
+            )
+            out[ok] = cos
+        return pd.Series(out)
 
     return _cos(a, b)
 

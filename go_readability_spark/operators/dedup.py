@@ -1,9 +1,12 @@
 """Deduplication operators for the training-data pipeline.
 
-Dedup/near-dup strategies plus corpus-level repetition signals, all
-pure Catalyst (no Python UDFs), each with a matching
-DuckDB oracle in queries.py (the formulas live in functions/ so the two
-engines share constants):
+Dedup/near-dup strategies plus corpus-level repetition signals, each
+with a matching DuckDB oracle in queries.py (the formulas live in
+functions/ so the two engines share constants). The text-hash family is
+pure Catalyst (no Python anywhere); the embedding family computes its
+vector math in Arrow-vectorized pandas UDFs (numpy over batch columns —
+never per-row Python), parity-tested against interpreted-HOF Catalyst
+references:
 
 - exact        — hash-groupBy on normalized md5 (one shuffle on the hash)
 - n-gram Jaccard — explode shingles → equi-join on shingle → count/union
@@ -14,7 +17,8 @@ engines share constants):
                  variant in similarity.py for scale)
 
 Persist lifecycle: ngram_jaccard_pairs, minhash_lsh_candidates,
-simhash_near_dups, and boilerplate_fraction persist (and eagerly
+simhash_near_dups, embedding_near_dups_lsh, and
+boilerplate_fraction persist (and eagerly
 materialize) intermediates their returned plans reference — the
 persist must outlive the returned plan, so the operator cannot free
 it. Callers own the release: wrap query + materialization in
@@ -494,6 +498,7 @@ def dedup_components(
     sc = spark.sparkContext
     base_ids = _persistent_rdd_ids(sc)  # pre-existing persists: not ours
     created: set = set()
+    result_ids: set = set()  # the returned result's own checkpoint blocks
 
     def _checkpoint(df: DataFrame) -> tuple:
         before = _persistent_rdd_ids(sc)
@@ -502,10 +507,13 @@ def dedup_components(
         created.update(ids)
         return out, ids
 
-    # canonical undirected edges (a < b), self-loops dropped
+    # canonical undirected edges (a < b), self-loops dropped. Ids keep
+    # their native type — the algorithm only needs an orderable type
+    # (least/greatest/min), so string ids (md5 keepers, URLs) work; a
+    # numeric cast here would NULL them out and silently return an
+    # empty clustering.
     raw = pairs.select(
-        F.col(a_col).cast("long").alias("x"),
-        F.col(b_col).cast("long").alias("y"),
+        F.col(a_col).alias("x"), F.col(b_col).alias("y")
     ).filter(F.col("x") != F.col("y"))
     edges, _ = _checkpoint(
         raw.select(
@@ -558,13 +566,16 @@ def dedup_components(
                 .distinct()
             )
             obs = Observation()
-            # decimal(38,0) sums: exact and overflow-free under ANSI
-            # mode (a long sum of xxhash64 values overflows immediately)
+            # endpoint HASH sums, not endpoint sums: type-agnostic (ids
+            # may be strings) and decimal(38,0)-exact / overflow-free
+            # under ANSI (a long sum of xxhash64 values overflows
+            # immediately). A collision only costs the one exact
+            # symmetric-difference check below, never a wrong result.
             observed = ss.observe(
                 obs,
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
-                F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
+                F.sum(F.xxhash64("a").cast("decimal(38,0)")).alias("sa"),
+                F.sum(F.xxhash64("b").cast("decimal(38,0)")).alias("sb"),
                 F.sum(
                     F.xxhash64("a", "b").cast("decimal(38,0)")
                 ).alias("h"),
@@ -629,8 +640,6 @@ def dedup_components(
         # (persists that existed before we started, e.g. an upstream
         # operator's) are never touched.
         nodes.unpersist()
-        try:
-            keep = result_ids  # noqa: F821 — defined iff converged
-        except NameError:
-            keep = set()
-        _unpersist_rdd_ids(sc, (created & _persistent_rdd_ids(sc)) - keep)
+        _unpersist_rdd_ids(
+            sc, (created & _persistent_rdd_ids(sc)) - result_ids
+        )

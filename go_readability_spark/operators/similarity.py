@@ -124,15 +124,29 @@ def with_lsh_bucket(
 
     @pandas_udf("int")
     def _bucket(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
+        n = len(v)
+        if n == 0:
             return pd.Series([], dtype="int32")
-        x = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
-        out = np.zeros(len(v), dtype=np.int64)
-        for p, wp in enumerate(weights):
-            acc = np.zeros(len(v), dtype=np.float64)
-            for d in range(x.shape[1]):
-                acc = acc + x[:, d] * wp[d]
-            out += (acc >= 0).astype(np.int64) << p
+        arrs = v.to_numpy()
+        # vectors whose length != dim: the Catalyst reference's zip_with
+        # null-pads, the null poisons the whole fold, and when(null)
+        # takes the otherwise-0 branch for EVERY plane → bucket 0
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+        ok = lens == dim
+        out = np.zeros(n, dtype=np.int64)
+        if ok.any():
+            x = np.stack(arrs[ok]).astype(np.float64)  # (n_ok, dim)
+            bits = np.zeros(int(ok.sum()), dtype=np.int64)
+            for p, wp in enumerate(weights):
+                acc = np.zeros(x.shape[0], dtype=np.float64)
+                for d in range(dim):
+                    acc = acc + x[:, d] * wp[d]
+                # ~(acc < 0), NOT acc >= 0: Spark and DuckDB compare
+                # doubles with total ordering (NaN greater than
+                # everything), so a NaN projection SETS the bit; numpy's
+                # `NaN >= 0` is False but `~(NaN < 0)` is True
+                bits += (~(acc < 0)).astype(np.int64) << p
+            out[ok] = bits
         return pd.Series(out.astype("int32"))
 
     return df.withColumn(out_col, _bucket(F.col(vec_col)))
@@ -255,19 +269,34 @@ def ann_topk_ivf(
 
     @pandas_udf("int")
     def _cell(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
+        n = len(v)
+        if n == 0:
             return pd.Series([], dtype="int32")
-        x = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
-        n, d_dim = x.shape
-        dists = np.empty((n, len(cid_arr)), dtype=np.float64)
-        for j in range(len(cid_arr)):
-            acc = np.zeros(n, dtype=np.float64)
-            for d in range(d_dim):
-                diff = x[:, d] - cmat[j, d]
-                acc = acc + diff * diff
-            dists[:, j] = acc
-        idx = np.argmin(dists, axis=1)  # first min → smallest cid
-        return pd.Series(cid_arr[idx].astype("int32"))
+        arrs = v.to_numpy()
+        dim = cmat.shape[1]
+        # length-mismatched vectors: the Catalyst zip_with reference
+        # null-poisons every distance → null cell → the probe equi-filter
+        # drops the row. Cell -1 (never a probe cid) reproduces that.
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+        ok = lens == dim
+        out = np.full(n, -1, dtype=np.int64)
+        if ok.any():
+            x = np.stack(arrs[ok]).astype(np.float64)  # (n_ok, dim)
+            dists = np.empty((x.shape[0], len(cid_arr)), dtype=np.float64)
+            for j in range(len(cid_arr)):
+                acc = np.zeros(x.shape[0], dtype=np.float64)
+                for d in range(dim):
+                    diff = x[:, d] - cmat[j, d]
+                    acc = acc + diff * diff
+                dists[:, j] = acc
+            # NaN distances sort LAST in both Spark and DuckDB (total
+            # ordering); np.argmin would pick them FIRST — mask to +inf
+            # (an all-NaN row then falls to the first index = smallest
+            # cid, matching the oracle's (dist, cid) row_number order)
+            dists[np.isnan(dists)] = np.inf
+            idx = np.argmin(dists, axis=1)  # first min → smallest cid
+            out[ok] = cid_arr[idx]
+        return pd.Series(out.astype("int32"))
 
     # the query's nprobe nearest cells, computed with the IDENTICAL
     # left-fold double arithmetic (python floats are the same doubles)

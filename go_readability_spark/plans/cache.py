@@ -24,6 +24,17 @@ persistent-RDD registry, outside the catalog cache, and clearCache
 also frees caches the caller did not create. The scope frees exactly
 the delta it observed — persists that existed before entry (e.g. an
 upstream table the caller cached on purpose) are left alone.
+
+NOT safe under concurrent scopes on one SparkSession: the registry is
+session-global, so a scope exiting while another thread's operator is
+mid-flight would free that thread's still-in-use persists (and a
+self-join whose persist vanishes recomputes its upstream once per join
+side — the exact race the eager persist exists to prevent). Use one
+scope at a time per session; concurrent partition jobs
+(plans.checkpoint.run_checkpointed(concurrency=N)) do NOT use scopes
+for this reason — run_checkpointed owns its single persist directly
+(persist → finally-unpersist) and writes partition results straight
+out, so nothing there needs a scope.
 """
 
 from __future__ import annotations

@@ -129,3 +129,64 @@ class TestEmbeddingLsh:
             cosine_similarity_pandas(F.col("va"), F.col("vb")).alias("fast"),
         ).filter(F.col("ref") != F.col("fast")).count()
         assert mismatches == 0
+
+    def test_pandas_bucket_hostile_vectors_match_catalyst(self, spark):
+        """NaN projections and length-mismatched vectors must take the
+        SAME branch in the numpy fast path as in the Catalyst reference:
+        Spark compares doubles with total ordering (NaN >= 0 is TRUE,
+        setting the bit), and zip_with null-padding poisons the fold of
+        a wrong-length vector into bucket 0 on every plane."""
+        from go_readability_spark.operators.similarity import (
+            lsh_bucket_col,
+            with_lsh_bucket,
+        )
+
+        dim = 4
+        data = [
+            (1, [float("nan")] * dim),              # NaN projection
+            (2, [1.0, -2.0]),                       # too short
+            (3, [0.5] * (dim + 3)),                 # too long
+            (4, [0.25, -0.75, 1.5, -0.125]),        # plain
+            (5, []),                                # empty
+        ]
+        emb = spark.createDataFrame(data, "vec_id int, embedding array<double>")
+        got = (
+            with_lsh_bucket(emb, "embedding", 3, dim, out_col="fast")
+            .withColumn("ref", lsh_bucket_col(F.col("embedding"), 3, dim))
+            .select("vec_id", "fast", "ref")
+            .collect()
+        )
+        for r in got:
+            assert r["fast"] == r["ref"], (r["vec_id"], r["fast"], r["ref"])
+        by_id = {r["vec_id"]: r["fast"] for r in got}
+        assert by_id[1] == 7      # NaN: every bit set (total ordering)
+        assert by_id[2] == 0 and by_id[3] == 0 and by_id[5] == 0
+
+    def test_pandas_cosine_ragged_pair_yields_null(self, spark):
+        """A pair of unequal-length vectors must produce a NULL cosine
+        (dropped by >= filters), exactly like the Catalyst reference —
+        NOT NaN, which Spark's total ordering would KEEP."""
+        from go_readability_spark.functions.vectors import (
+            cosine_similarity,
+            cosine_similarity_pandas,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 2.0], [1.0, 2.0, 3.0]),
+                (2, [1.0, 2.0], [2.0, 1.0]),
+            ],
+            "pid int, va array<double>, vb array<double>",
+        )
+        rows = df.select(
+            "pid",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("ref"),
+            cosine_similarity_pandas(F.col("va"), F.col("vb")).alias("fast"),
+        ).collect()
+        by_id = {r["pid"]: r for r in rows}
+        assert by_id[1]["ref"] is None and by_id[1]["fast"] is None
+        assert by_id[2]["ref"] == by_id[2]["fast"] is not None
+        kept = df.filter(
+            cosine_similarity_pandas(F.col("va"), F.col("vb")) >= -1.0
+        ).count()
+        assert kept == 1  # the ragged pair is dropped, not NaN-kept

@@ -292,3 +292,20 @@ def test_persist_scope_frees_operator_persists(spark):
         minhash_lsh_candidates(docs).count()
     assert held <= persistent_rdd_ids(sc)
     keep.unpersist()
+
+
+def test_dedup_components_string_ids(spark):
+    """Ids keep their native type: string ids (md5 keepers, URLs) must
+    cluster correctly — a numeric cast would NULL them out and silently
+    return an empty result."""
+    from go_readability_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("q", "q")],
+        "doc_a string, doc_b string",
+    )
+    rows = dedup_components(pairs).collect()
+    comp = {r["doc_id"]: r["component_id"] for r in rows}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    sizes = {r["doc_id"]: r["component_size"] for r in rows}
+    assert sizes == {"a": 3, "b": 3, "c": 3, "x": 2, "y": 2}

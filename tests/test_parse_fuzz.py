@@ -154,3 +154,20 @@ def test_script_text_escaped_like_reference():
     doc = parse_html("<script>var a = '<p>';</script>")
     out = serialize_to_html(doc.document_element)
     assert "var a = &#39;&lt;p&gt;&#39;;" in out
+
+
+def test_classifier_rejects_uncatalogued_divergence():
+    """'text-reorder' is not a catch-all: a divergence with no implied
+    re-close and no table at the site must classify as 'unknown' so the
+    campaign gate can actually fail on a new divergence shape."""
+    from tools.parse_fuzz import classify_fixpoint_divergence
+
+    s1 = "<p>hello brave world</p>"
+    s2 = "<p>hello wrold brave</p>"          # no table anywhere
+    assert classify_fixpoint_divergence(s1, s2) == "unknown"
+    # a long end-tag run (formerly >300-char window) must not crash and
+    # must still find the re-closed <li> at its end
+    run = "".join(f"</{t}>" for t in ["b", "i", "em", "strong"] * 30)
+    s1b = "<li>x<ul>y"
+    s2b = f"<li>x{run}</li><ul>y"
+    assert classify_fixpoint_divergence(s1b, s2b) == "li-reclose"

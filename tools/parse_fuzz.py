@@ -38,12 +38,14 @@ import hashlib
 import json
 import os
 import random
+import re
 import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FORMATTING = ["b", "i", "em", "strong", "code", "small", "u", "s"]
+_END_TAG = re.compile(r"</([a-zA-Z][a-zA-Z0-9-]*)>")
 BLOCKS = ["div", "p", "section", "article", "blockquote", "li", "h2", "aside"]
 WORDS = (
     "alpha beta gamma delta text content reader article extract "
@@ -136,26 +138,40 @@ def classify_fixpoint_divergence(s1: str, s2: str) -> str:
 
       li-reclose    reparse closes an open <li>/<dt>/<dd>
       cell-reclose  reparse closes an open <td>/<th> (stray-cell case)
-      text-reorder  foster-parented character data lands elsewhere
+      text-reorder  foster-parented content lands elsewhere (a <table>
+                    sits at the divergence site)
+      unknown       none of the above — a class this catalogue does
+                    NOT cover (the pytest gate fails on it, so a new
+                    divergence shape cannot hide in the tail)
     """
     n = min(len(s1), len(s2))
     i = 0
     while i < n and s1[i] == s2[i]:
         i += 1
-    w2 = s2[s2.rfind("<", 0, i + 1):][:300]
+    w2 = s2[max(s2.rfind("<", 0, i + 1), 0):]
     # the implied close emits a RUN of end tags, innermost first (closing
     # <li> also closes any formatting/blocks still open inside it);
     # collect the run and look for the re-closed trigger element in it
     run = []
-    while w2.startswith("</"):
-        j = w2.index(">")
-        run.append(w2[2:j])
-        w2 = w2[j + 1:]
+    pos = 0
+    while True:
+        m = _END_TAG.match(w2, pos)
+        if not m:
+            break
+        run.append(m.group(1).lower())
+        pos = m.end()
     if "td" in run or "th" in run:
         return "cell-reclose"
     if "li" in run or "dt" in run or "dd" in run:
         return "li-reclose"
-    return "text-reorder"
+    # text-reorder is NOT a catch-all: it requires positive evidence of
+    # the foster-parenting site — a table at the divergence in either
+    # serialization (all observed reorders are content fostered out of /
+    # into an open <table>)
+    lo = max(i - 150, 0)
+    if "<table" in s1[lo:i + 250] or "<table" in s2[lo:i + 250]:
+        return "text-reorder"
+    return "unknown"
 
 
 def span_sequence(html: str):
