@@ -27,9 +27,13 @@ __all__ = [
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ann_topk_ivf_stored",
+    "ivf_cell_udf",
     "lsh_bucket_col",
     "lsh_bucket_sql",
+    "with_ivf_cell",
     "with_lsh_bucket",
+    "write_ivf_index",
 ]
 
 
@@ -264,6 +268,17 @@ def ann_topk_ivf(
         if int(r["cid"]) == query_id
     )
 
+    return _probe_and_rerank(
+        embeddings.withColumn("cid", ivf_cell_udf(cents)(F.col(vec_col))),
+        "cid", cents, qvec, query_id, k, nprobe, id_col, vec_col,
+    )
+
+
+def ivf_cell_udf(cents):
+    """Arrow-vectorized nearest-centroid assignment for a driver-tiny
+    codebook ``[(cid, vec), ...]`` sorted by cid (see ann_topk_ivf for
+    why numpy instead of Catalyst HOFs, and for the exact tie-break and
+    NaN semantics the DuckDB oracle reproduces)."""
     cmat = np.asarray([cvec for _, cvec in cents], dtype=np.float64)
     cid_arr = np.asarray([cid for cid, _ in cents], dtype=np.int64)
 
@@ -298,26 +313,37 @@ def ann_topk_ivf(
             out[ok] = cid_arr[idx]
         return pd.Series(out.astype("int32"))
 
-    # the query's nprobe nearest cells, computed with the IDENTICAL
-    # left-fold double arithmetic (python floats are the same doubles)
-    def py_l2sq(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + (x - y) * (x - y)
-        return acc
+    return _cell
 
-    probe_cids = [
+
+def _py_l2sq(a, b):
+    """Driver-side squared L2 — the IDENTICAL left-fold double
+    arithmetic as l2sq/l2sq_sql (python floats are the same doubles)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def _probe_cells(cents, qvec, nprobe):
+    """The query's nprobe nearest cells, ties to the smaller cid."""
+    return [
         cid
         for _, cid in sorted(
-            (py_l2sq(qvec, cvec), cid) for cid, cvec in cents
+            (_py_l2sq(qvec, cvec), cid) for cid, cvec in cents
         )[:nprobe]
     ]
 
+
+def _probe_and_rerank(
+    assigned, cell_col, cents, qvec, query_id, k, nprobe, id_col, vec_col
+):
+    """Filter to the query's nprobe cells, exact-cosine rerank, top-k."""
+    probe_cids = _probe_cells(cents, qvec, nprobe)
     qv_lit = F.array(*[F.lit(x) for x in qvec])
-    assigned = embeddings.withColumn("cid", _cell(F.col(vec_col)))
     return (
         assigned.filter(
-            F.col("cid").isin(probe_cids) & (F.col(id_col) != query_id)
+            F.col(cell_col).isin(probe_cids) & (F.col(id_col) != query_id)
         )
         .select(
             F.col(id_col).alias("vec_id"),
@@ -327,4 +353,76 @@ def ann_topk_ivf(
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(k)
+    )
+
+
+def with_ivf_cell(
+    df: DataFrame, cents, vec_col: str = "embedding", out_col: str = "cell"
+) -> DataFrame:
+    """Add the nearest-centroid cell id — the ingest-time form."""
+    return df.withColumn(out_col, ivf_cell_udf(cents)(F.col(vec_col)))
+
+
+def seed_codebook(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The deterministic seed codebook (embeddings of vec_id <
+    n_centroids) as a driver-tiny ``[(cid, vec), ...]`` sorted by cid —
+    stand-in for an offline k-means codebook (the plan is identical)."""
+    rows = (
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    return sorted((int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows)
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Materialize the production IVF layout: the cell id is computed
+    ONCE at ingest and stored as a parquet PARTITION column, so a probe
+    becomes a partition-pruned scan — (K - nprobe)/K of the corpus is
+    never opened, not merely filtered (asserted by
+    tests/test_bucketing.py::test_ivf_stored_probe_is_partition_pruned).
+    Ragged vectors land in cell=-1 and are never probed (the same rows
+    the in-plan form's null-poisoned assignment drops). Returns the
+    codebook for ``ann_topk_ivf_stored``."""
+    cents = seed_codebook(embeddings, n_centroids, id_col, vec_col)
+    (
+        with_ivf_cell(
+            embeddings.select(id_col, vec_col), cents, vec_col
+        )
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return cents
+
+
+def ann_topk_ivf_stored(
+    spark,
+    path: str,
+    cents,
+    qvec,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe over the stored layout written by ``write_ivf_index``:
+    identical results to ``ann_topk_ivf`` (same codebook, same tie-break,
+    same rerank arithmetic), but the nprobe cell filter prunes PARQUET
+    PARTITIONS instead of scanned rows — the 100 TB probe shape."""
+    return _probe_and_rerank(
+        spark.read.parquet(path),
+        "cell", cents, qvec, query_id, k, nprobe, id_col, vec_col,
     )

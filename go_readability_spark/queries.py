@@ -361,6 +361,40 @@ limit {ANN_K}
 """
 
 
+def q_ann_topk_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over the STORED layout (cell id materialized at ingest
+    as a parquet partition column by write_ivf_index): identical result
+    set to ann_topk_ivf — same codebook, tie-break, and rerank
+    arithmetic, hence the same oracle — but the nprobe filter prunes
+    partitions instead of scanned rows (PartitionFilters plan-asserted
+    in tests/test_bucketing.py). The layout is built once per sf under
+    the system temp dir; the probe itself never touches the source."""
+    import os
+    import tempfile
+
+    from .operators.similarity import (
+        ann_topk_ivf_stored,
+        seed_codebook,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"gr_spark_ivf_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_ivf_index(emb, path, IVF_CENTROIDS)
+    cents = seed_codebook(emb, IVF_CENTROIDS)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == ANN_QUERY_ID)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    ]
+    return ann_topk_ivf_stored(
+        spark, path, cents, qvec, ANN_QUERY_ID, ANN_K, IVF_NPROBE
+    )
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path embedding near-dup (bucketed LSH join); bucket ids are
     deterministic, so the oracle mirrors the bucket equi-join exactly."""
@@ -1043,6 +1077,7 @@ QUERIES: dict[str, QueryFn] = {
     "media_frames": q_media_frames,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_ivf_stored": q_ann_topk_ivf_stored,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "render_formats": q_render_formats,
@@ -1110,6 +1145,10 @@ ORACLES: dict[str, str] = {
     "media_frames": ORACLE_MEDIA_FRAMES,
     "ann_topk_lsh": _oracle_ann_topk_lsh(),
     "ann_topk_ivf": _oracle_ann_topk_ivf(),
+    # the stored layout reproduces the in-plan assignment exactly, so
+    # the SAME oracle verifies it (what changes is the physical scan:
+    # partition pruning instead of a row filter)
+    "ann_topk_ivf_stored": _oracle_ann_topk_ivf(),
     "dedup_embedding_lsh": _oracle_dedup_embedding_lsh(),
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,

@@ -190,3 +190,37 @@ class TestEmbeddingLsh:
             cosine_similarity_pandas(F.col("va"), F.col("vb")) >= -1.0
         ).count()
         assert kept == 1  # the ragged pair is dropped, not NaN-kept
+
+
+class TestIvfStored:
+    def test_ivf_stored_probe_is_partition_pruned(self, spark, tmp_path):
+        """The stored IVF layout must (a) reproduce the in-plan
+        ann_topk_ivf results exactly and (b) prune the non-probed cells
+        at the PARTITION level — the scan's PartitionFilters must carry
+        the cell IN-set, so (K - nprobe)/K of the corpus is never
+        opened at 100 TB."""
+        from go_readability_spark.operators.similarity import (
+            ann_topk_ivf,
+            ann_topk_ivf_stored,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        ref = ann_topk_ivf(emb, 0, 10, n_centroids=16, nprobe=4).collect()
+
+        path = str(tmp_path / "ivf")
+        cents = write_ivf_index(emb, path, 16)
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()[0]["embedding"]
+        ]
+        got_df = ann_topk_ivf_stored(spark, path, cents, qvec, 0, 10, 4)
+        assert [tuple(r) for r in got_df.collect()] == [tuple(r) for r in ref]
+
+        plan = _formatted(got_df)
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf and "cell" in pf[0] and " IN " in pf[0], plan
+        # ragged/malformed vectors would land in cell=-1 — never probed
+        assert "-1" not in pf[0]
