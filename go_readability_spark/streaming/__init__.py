@@ -8,6 +8,7 @@ tail a landing zone of span documents instead of re-running batch jobs.
 from .extract_stream import (  # noqa: F401
     extract_stream,
     run_extract_stream,
+    stream_dedup_exact,
     stream_events_hourly,
     stream_sessionize,
 )

@@ -24,9 +24,44 @@ from ..schemas import DOCUMENTS_SCHEMA
 __all__ = [
     "extract_stream",
     "run_extract_stream",
+    "stream_dedup_exact",
     "stream_events_hourly",
     "stream_sessionize",
 ]
+
+
+def stream_dedup_exact(
+    docs_stream: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ingest_ts",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Streaming exact dedup of a landing stream of span documents.
+
+    The content key is the SAME normalized fingerprint as the batch
+    ``operators.dedup.dedup_exact`` (norm_fingerprint over the JVM span
+    reassembly — no Python anywhere), so the streaming path admits
+    exactly the documents the batch operator would keep as group
+    representatives. ``dropDuplicatesWithinWatermark`` bounds the dedup
+    state by the horizon: a fingerprint is evicted once the watermark
+    passes its event time plus the delay, so state is O(docs per
+    horizon), never O(history) — the contract a continuous-ingest
+    pipeline needs at 10^12 docs. A re-occurrence AFTER the horizon is
+    re-admitted by design (tested); the periodic batch dedup_exact pass
+    over the landed table catches cross-horizon duplicates.
+
+    Output: the input rows minus within-horizon duplicates, plus the
+    ``text_hash`` column (the batch-compatible dedup key)."""
+    from ..functions.text import norm_fingerprint
+    from ..plans.skew import with_reassembled_html
+
+    return (
+        with_reassembled_html(docs_stream, spans_col)
+        .withColumn("text_hash", norm_fingerprint(F.col("html")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .drop("html")
+    )
 
 
 def extract_stream(

@@ -299,3 +299,92 @@ class TestStatefulSessionize:
             for r in sessionize(events).collect()
         }
         assert streamed == batch
+
+
+class TestStreamDedupExact:
+    def test_stream_dedup_bounded_state_and_batch_key_parity(
+        self, spark, tmp_path
+    ):
+        """dropDuplicatesWithinWatermark dedup: (1) a duplicate inside
+        the horizon is suppressed even when its text differs only by
+        case/whitespace (the batch norm_fingerprint key), (2) state is
+        BOUNDED — once the watermark passes a fingerprint's eviction
+        time, a later re-occurrence is re-admitted (the documented
+        horizon contract), (3) the emitted text_hash equals the batch
+        dedup_exact key for the same content."""
+        import datetime as dt
+
+        from go_readability_spark.streaming import stream_dedup_exact
+
+        inp = str(tmp_path / "dd_in")
+        out = str(tmp_path / "dd_out")
+        ckpt = str(tmp_path / "dd_ckpt")
+        base = dt.datetime(2026, 1, 1, 12, 0, 0)
+        ddl = (
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>, ingest_ts timestamp"
+        )
+
+        def doc(doc_id, text, minutes):
+            return (
+                doc_id,
+                [("text", text, None, 0)],
+                base + dt.timedelta(minutes=minutes),
+            )
+
+        def feed(rows):
+            spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+                "append"
+            ).parquet(inp)
+
+        def drain():
+            q = (
+                stream_dedup_exact(
+                    spark.readStream.schema(ddl).parquet(inp),
+                    watermark="1 hour",
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        def seen():
+            return {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+        # horizon dedup: B differs from A only by case/whitespace
+        feed([
+            doc("A", "hello world", 0),
+            doc("B", "  Hello   WORLD ", 10),
+            doc("C", "something else", 0),
+        ])
+        drain()
+        assert seen() == {"A", "C"}
+
+        # advance the watermark past A's eviction time (10' + 1h)
+        feed([doc("E", "fresh content", 240)])
+        drain()
+        assert seen() == {"A", "C", "E"}
+
+        # beyond the horizon the same content is re-admitted: state is
+        # bounded by the watermark, not by history
+        feed([doc("D", "hello world", 300)])
+        drain()
+        assert seen() == {"A", "C", "E", "D"}
+
+        # the streaming key IS the batch dedup key
+        from go_readability_spark.functions.text import norm_fingerprint
+
+        batch_hash = (
+            spark.createDataFrame([("x", "hello world")], "id string, t string")
+            .select(norm_fingerprint(F.col("t")).alias("h"))
+            .collect()[0]["h"]
+        )
+        hashes = {
+            r["doc_id"]: r["text_hash"]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert hashes["A"] == batch_hash == hashes["D"]
