@@ -542,13 +542,19 @@ def dedup_components(
             # large-star: u's neighbors v > u rewire to min(N(u) ∪ {u});
             # m = least(src, min(dst)) ≤ src < dst keeps (m, dst) canonical
             mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+            # NO distinct here: duplicate (a, b) rows cost nothing
+            # downstream — mins2's min() combines map-side, the e2 join
+            # fanout is degree-bounded, and ss's final distinct (needed
+            # anyway for the exact edge-set signature) dedups with
+            # map-side partials. Dropping it removes one full |E|
+            # shuffle per round — noise-level at sf0.1 (~14% cold),
+            # real at scale where shuffle volume dominates rounds.
             ls = (
                 sym.join(mins, "src")
                 .filter(F.col("dst") > F.col("src"))
                 .select(
                     F.least("src", "mn").alias("a"), F.col("dst").alias("b")
                 )
-                .distinct()
             )
             # small-star: key by the LARGER endpoint (src=b); all its
             # smaller neighbors — and itself — rewire to min(N ∪ {u})
