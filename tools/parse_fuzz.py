@@ -212,7 +212,7 @@ def main() -> int:
         "parse_errors": 0,
         "fixpoint_violations": 0,
         "fixpoint_classes": {},
-        "fixpoint_depth2_stable": 0,
+        "fixpoint_convergence_depths": {},
         "extract_errors": 0,
         "span_order_violations": 0,
         "go_diffs": None,
@@ -233,14 +233,22 @@ def main() -> int:
             stats["fixpoint_violations"] += 1
             cls = classify_fixpoint_divergence(s1, s2)
             stats["fixpoint_classes"][cls] = stats["fixpoint_classes"].get(cls, 0) + 1
-            # the reparse output must itself be a fixpoint (depth-2
-            # convergence): one normalization round, never oscillation
-            s3 = serialize_document_to_html(parse_html(s2))
-            if s2 == s3:
-                stats["fixpoint_depth2_stable"] += 1
+            # convergence depth: how many serialize∘parse applications
+            # until a true fixpoint. Depth 2 = one normalization round;
+            # nested double-foster constructs need 3; nothing observed
+            # oscillates or exceeds 3 (asserted by the pytest gate)
+            depth, cur = 2, s2
+            while depth <= 6:
+                nxt = serialize_document_to_html(parse_html(cur))
+                if nxt == cur:
+                    break
+                cur, depth = nxt, depth + 1
+            key = str(depth) if depth <= 6 else ">6"
+            d = stats["fixpoint_convergence_depths"]
+            d[key] = d.get(key, 0) + 1
             failures.append(
                 {"i": i, "kind": "fixpoint", "class": cls,
-                 "depth2_stable": s2 == s3, "html": html, "s1": s1, "s2": s2}
+                 "depth": depth, "html": html, "s1": s1, "s2": s2}
             )
         try:
             seq = span_sequence(html)
