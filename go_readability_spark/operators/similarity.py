@@ -28,12 +28,15 @@ __all__ = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ann_topk_ivf_stored",
+    "ann_topk_lsh_stored",
     "ivf_cell_udf",
     "lsh_bucket_col",
+    "lsh_bucket_py",
     "lsh_bucket_sql",
     "with_ivf_cell",
     "with_lsh_bucket",
     "write_ivf_index",
+    "write_lsh_index",
 ]
 
 
@@ -154,6 +157,82 @@ def with_lsh_bucket(
         return pd.Series(out.astype("int32"))
 
     return df.withColumn(out_col, _bucket(F.col(vec_col)))
+
+
+def lsh_bucket_py(vec, n_planes: int, dim: int) -> int:
+    """Driver-side bucket id — the IDENTICAL left-fold double arithmetic
+    as lsh_bucket_col / with_lsh_bucket / lsh_bucket_sql (python floats
+    are the same IEEE doubles, same fold order, same total-ordering NaN
+    branch), so a query vector's bucket computed here matches the
+    stored partition values bit-for-bit."""
+    if len(vec) != dim:
+        return 0  # the null-poisoned branch of the zip_with reference
+    bucket = 0
+    for p, row in enumerate(_hyperplanes(n_planes, dim)):
+        acc = 0.0
+        for x, w in zip(vec, row):
+            acc = acc + x * w
+        if not (acc < 0):  # NaN sets the bit (total ordering)
+            bucket += 1 << p
+    return bucket
+
+
+def write_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the LSH layout: the sign-projection bucket computed
+    once at ingest and stored as a parquet PARTITION column (2^n_planes
+    partitions), so a probe opens only the query's bucket set —
+    ``(2^n_planes - 1 - n_planes) / 2^n_planes`` of the corpus is never
+    touched under multiprobe. The IVF twin is ``write_ivf_index``."""
+    (
+        with_lsh_bucket(
+            embeddings.select(id_col, vec_col), vec_col, n_planes, dim
+        )
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ann_topk_lsh_stored(
+    spark,
+    path: str,
+    qvec,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 4,
+    dim: int = 64,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH probe over the stored layout written by ``write_lsh_index``:
+    identical results to ``ann_topk_lsh`` (same hyperplanes, fold, and
+    rerank), but the bucket set is a driver literal (``lsh_bucket_py``)
+    so the probe prunes PARQUET PARTITIONS instead of scanned rows."""
+    qbucket = lsh_bucket_py(qvec, n_planes, dim)
+    probes = [qbucket] + (
+        [qbucket ^ (1 << p) for p in range(n_planes)] if multiprobe else []
+    )
+    qv_lit = F.array(*[F.lit(x) for x in qvec])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(probes) & (F.col(id_col) != query_id))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(
+                cosine_similarity(F.col(vec_col), qv_lit), 6
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
 
 
 def lsh_bucket_sql(vec_expr: str, n_planes: int, dim: int) -> str:

@@ -361,6 +361,33 @@ limit {ANN_K}
 """
 
 
+def q_ann_topk_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH probe over the STORED layout (bucket materialized at ingest
+    as a parquet partition column by write_lsh_index): identical result
+    set to ann_topk_lsh — same hyperplanes, fold, multiprobe set, and
+    rerank, hence the same oracle — but the probe prunes partitions
+    (PartitionFilters plan-asserted in tests/test_bucketing.py)."""
+    import os
+    import tempfile
+
+    from .operators.similarity import ann_topk_lsh_stored, write_lsh_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"gr_spark_lsh_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_lsh_index(emb, path, ANN_LSH_PLANES, EMB_DIM)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == ANN_QUERY_ID)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    ]
+    return ann_topk_lsh_stored(
+        spark, path, qvec, ANN_QUERY_ID, ANN_K, ANN_LSH_PLANES, EMB_DIM
+    )
+
+
 def q_ann_topk_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe over the STORED layout (cell id materialized at ingest
     as a parquet partition column by write_ivf_index): identical result
@@ -1077,6 +1104,7 @@ QUERIES: dict[str, QueryFn] = {
     "media_frames": q_media_frames,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_lsh_stored": q_ann_topk_lsh_stored,
     "ann_topk_ivf_stored": q_ann_topk_ivf_stored,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
@@ -1145,9 +1173,10 @@ ORACLES: dict[str, str] = {
     "media_frames": ORACLE_MEDIA_FRAMES,
     "ann_topk_lsh": _oracle_ann_topk_lsh(),
     "ann_topk_ivf": _oracle_ann_topk_ivf(),
-    # the stored layout reproduces the in-plan assignment exactly, so
-    # the SAME oracle verifies it (what changes is the physical scan:
+    # the stored layouts reproduce the in-plan assignments exactly, so
+    # the SAME oracles verify them (what changes is the physical scan:
     # partition pruning instead of a row filter)
+    "ann_topk_lsh_stored": _oracle_ann_topk_lsh(),
     "ann_topk_ivf_stored": _oracle_ann_topk_ivf(),
     "dedup_embedding_lsh": _oracle_dedup_embedding_lsh(),
     "dedup_exact": ORACLE_DEDUP_EXACT,

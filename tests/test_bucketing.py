@@ -224,3 +224,40 @@ class TestIvfStored:
         assert pf and "cell" in pf[0] and " IN " in pf[0], plan
         # ragged/malformed vectors would land in cell=-1 — never probed
         assert "-1" not in pf[0]
+
+    def test_lsh_stored_probe_is_partition_pruned(self, spark, tmp_path):
+        """The stored LSH layout must reproduce ann_topk_lsh exactly
+        (driver-side lsh_bucket_py = the same IEEE fold) and prune the
+        non-probed buckets at the PARTITION level."""
+        from go_readability_spark.operators.similarity import (
+            ann_topk_lsh,
+            ann_topk_lsh_stored,
+            lsh_bucket_py,
+            with_lsh_bucket,
+            write_lsh_index,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        ref = ann_topk_lsh(emb, 0, 10, n_planes=4, dim=64).collect()
+
+        path = str(tmp_path / "lsh")
+        write_lsh_index(emb, path, 4, 64)
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()[0]["embedding"]
+        ]
+        # the driver-side bucket must equal the stored/Catalyst bucket
+        spark_bucket = (
+            with_lsh_bucket(emb.filter(F.col("vec_id") == 0), "embedding", 4, 64)
+            .collect()[0]["bucket"]
+        )
+        assert lsh_bucket_py(qvec, 4, 64) == spark_bucket
+
+        got_df = ann_topk_lsh_stored(spark, path, qvec, 0, 10, 4, 64)
+        assert [tuple(r) for r in got_df.collect()] == [tuple(r) for r in ref]
+
+        plan = _formatted(got_df)
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf and "bucket" in pf[0] and " IN " in pf[0], plan
