@@ -465,6 +465,7 @@ def write_ivf_index(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents=None,
 ):
     """Materialize the production IVF layout: the cell id is computed
     ONCE at ingest and stored as a parquet PARTITION column, so a probe
@@ -473,8 +474,10 @@ def write_ivf_index(
     tests/test_bucketing.py::test_ivf_stored_probe_is_partition_pruned).
     Ragged vectors land in cell=-1 and are never probed (the same rows
     the in-plan form's null-poisoned assignment drops). Returns the
-    codebook for ``ann_topk_ivf_stored``."""
-    cents = seed_codebook(embeddings, n_centroids, id_col, vec_col)
+    codebook for ``ann_topk_ivf_stored``. Pass a precomputed ``cents``
+    to skip the codebook fetch (one fewer source scan)."""
+    if cents is None:
+        cents = seed_codebook(embeddings, n_centroids, id_col, vec_col)
     (
         with_ivf_cell(
             embeddings.select(id_col, vec_col), cents, vec_col

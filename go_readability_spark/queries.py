@@ -361,22 +361,63 @@ limit {ANN_K}
 """
 
 
+def _stored_index_path(sf_dir: str, kind: str, params: str) -> str:
+    """Cache path for a stored ANN layout: keyed by sf, layout params,
+    AND the source table's newest mtime — regenerated testdata or
+    changed constants get a fresh key instead of silently probing a
+    stale layout (orphaned old keys just age out of the temp dir)."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        stamps = [os.path.getmtime(src)]
+        if os.path.isdir(src):
+            stamps += [
+                os.path.getmtime(os.path.join(src, f))
+                for f in os.listdir(src)
+            ]
+        stamp = str(int(max(stamps)))
+    except OSError:
+        stamp = "0"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        tempfile.gettempdir(), f"gr_spark_{kind}_{tag}_{params}_{stamp}"
+    )
+
+
+def _build_index_once(path: str, build) -> str:
+    """Atomic build-once: build into a pid-suffixed sibling, rename into
+    place (atomic within one filesystem). Concurrent builders race on
+    the rename; losers clean up their copy. A reader that sees _SUCCESS
+    always reads a fully-renamed layout — mode('overwrite') never
+    deletes a directory another process is mid-reading."""
+    import os
+    import shutil
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.building.{os.getpid()}"
+        build(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def q_ann_topk_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH probe over the STORED layout (bucket materialized at ingest
     as a parquet partition column by write_lsh_index): identical result
     set to ann_topk_lsh — same hyperplanes, fold, multiprobe set, and
     rerank, hence the same oracle — but the probe prunes partitions
     (PartitionFilters plan-asserted in tests/test_bucketing.py)."""
-    import os
-    import tempfile
-
     from .operators.similarity import ann_topk_lsh_stored, write_lsh_index
 
     emb = load_table(spark, sf_dir, "embeddings")
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"gr_spark_lsh_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_lsh_index(emb, path, ANN_LSH_PLANES, EMB_DIM)
+    path = _build_index_once(
+        _stored_index_path(sf_dir, "lsh", f"{ANN_LSH_PLANES}x{EMB_DIM}"),
+        lambda p: write_lsh_index(emb, p, ANN_LSH_PLANES, EMB_DIM),
+    )
     qvec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == ANN_QUERY_ID)
@@ -394,29 +435,35 @@ def q_ann_topk_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     set to ann_topk_ivf — same codebook, tie-break, and rerank
     arithmetic, hence the same oracle — but the nprobe filter prunes
     partitions instead of scanned rows (PartitionFilters plan-asserted
-    in tests/test_bucketing.py). The layout is built once per sf under
-    the system temp dir; the probe itself never touches the source."""
-    import os
-    import tempfile
-
-    from .operators.similarity import (
-        ann_topk_ivf_stored,
-        seed_codebook,
-        write_ivf_index,
-    )
+    in tests/test_bucketing.py). The layout is built once per (sf,
+    params, source-mtime) under the system temp dir; the probe itself
+    never touches the source. Codebook + query vector come from ONE
+    driver action (the in-plan fetch shape), reused for the build."""
+    from .operators.similarity import ann_topk_ivf_stored, write_ivf_index
 
     emb = load_table(spark, sf_dir, "embeddings")
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"gr_spark_ivf_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_ivf_index(emb, path, IVF_CENTROIDS)
-    cents = seed_codebook(emb, IVF_CENTROIDS)
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == ANN_QUERY_ID)
-        .select("embedding")
-        .collect()[0]["embedding"]
-    ]
+    small = (
+        emb.filter(
+            (F.col("vec_id") < IVF_CENTROIDS)
+            | (F.col("vec_id") == ANN_QUERY_ID)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in small
+        if int(r["vec_id"]) < IVF_CENTROIDS
+    )
+    qvec = next(
+        [float(x) for x in r["embedding"]]
+        for r in small
+        if int(r["vec_id"]) == ANN_QUERY_ID
+    )
+    path = _build_index_once(
+        _stored_index_path(sf_dir, "ivf", f"k{IVF_CENTROIDS}"),
+        lambda p: write_ivf_index(emb, p, IVF_CENTROIDS, cents=cents),
+    )
     return ann_topk_ivf_stored(
         spark, path, cents, qvec, ANN_QUERY_ID, ANN_K, IVF_NPROBE
     )

@@ -40,24 +40,39 @@ def stream_dedup_exact(
 
     The content key is the SAME normalized fingerprint as the batch
     ``operators.dedup.dedup_exact`` (norm_fingerprint over the JVM span
-    reassembly — no Python anywhere), so the streaming path admits
-    exactly the documents the batch operator would keep as group
-    representatives. ``dropDuplicatesWithinWatermark`` bounds the dedup
-    state by the horizon: a fingerprint is evicted once the watermark
-    passes its event time plus the delay, so state is O(docs per
-    horizon), never O(history) — the contract a continuous-ingest
+    reassembly — no Python anywhere), so the streaming path admits one
+    representative per distinct content within the horizon: the KEPT
+    CONTENT SET matches the batch operator's; the chosen representative
+    is first-arrival here versus min(doc_id) there (order-dependent by
+    nature of streaming). ``dropDuplicatesWithinWatermark`` bounds the
+    dedup state by the horizon: a fingerprint is evicted once the
+    watermark passes its event time plus the delay, so state is O(docs
+    per horizon), never O(history) — the contract a continuous-ingest
     pipeline needs at 10^12 docs. A re-occurrence AFTER the horizon is
     re-admitted by design (tested); the periodic batch dedup_exact pass
     over the landed table catches cross-horizon duplicates.
 
+    MALFORMED documents (null/invalid spans → NULL reassembly) are
+    NEVER deduplicated: each gets a per-doc unique key, so they all
+    flow through to extraction, which owns emitting their error rows —
+    deduping them on the shared NULL fingerprint would silently delete
+    distinct broken documents from the stream.
+
     Output: the input rows minus within-horizon duplicates, plus the
-    ``text_hash`` column (the batch-compatible dedup key)."""
+    ``text_hash`` column (the batch-compatible dedup key; malformed
+    docs carry their ``malformed:<doc_id>`` sentinel)."""
     from ..functions.text import norm_fingerprint
     from ..plans.skew import with_reassembled_html
 
     return (
         with_reassembled_html(docs_stream, spans_col)
-        .withColumn("text_hash", norm_fingerprint(F.col("html")))
+        .withColumn(
+            "text_hash",
+            F.when(
+                F.col("html").isNull(),
+                F.concat(F.lit("malformed:"), F.col("doc_id")),
+            ).otherwise(norm_fingerprint(F.col("html"))),
+        )
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["text_hash"])
         .drop("html")

@@ -355,25 +355,38 @@ class TestStreamDedupExact:
         def seen():
             return {r["doc_id"] for r in spark.read.parquet(out).collect()}
 
-        # horizon dedup: B differs from A only by case/whitespace
+        def bad(doc_id, minutes):
+            # null offset -> NULL reassembly (the malformed-doc path)
+            return (
+                doc_id,
+                [("text", "broken", None, None)],
+                base + dt.timedelta(minutes=minutes),
+            )
+
+        # horizon dedup: B differs from A only by case/whitespace.
+        # M1/M2 are DISTINCT malformed docs — they must BOTH pass
+        # through (extraction owns their error rows); deduping them on
+        # the shared NULL fingerprint would silently delete M2.
         feed([
             doc("A", "hello world", 0),
             doc("B", "  Hello   WORLD ", 10),
             doc("C", "something else", 0),
+            bad("M1", 0),
+            bad("M2", 5),
         ])
         drain()
-        assert seen() == {"A", "C"}
+        assert seen() == {"A", "C", "M1", "M2"}
 
         # advance the watermark past A's eviction time (10' + 1h)
         feed([doc("E", "fresh content", 240)])
         drain()
-        assert seen() == {"A", "C", "E"}
+        assert seen() == {"A", "C", "E", "M1", "M2"}
 
         # beyond the horizon the same content is re-admitted: state is
         # bounded by the watermark, not by history
         feed([doc("D", "hello world", 300)])
         drain()
-        assert seen() == {"A", "C", "E", "D"}
+        assert seen() == {"A", "C", "E", "D", "M1", "M2"}
 
         # the streaming key IS the batch dedup key
         from go_readability_spark.functions.text import norm_fingerprint

@@ -247,8 +247,11 @@ def main() -> int:
             d = stats["fixpoint_convergence_depths"]
             d[key] = d.get(key, 0) + 1
             failures.append(
+                # depth is the histogram KEY: ">6" means the loop gave
+                # up without a verified fixpoint, NOT convergence at 7
                 {"i": i, "kind": "fixpoint", "class": cls,
-                 "depth": depth, "html": html, "s1": s1, "s2": s2}
+                 "depth": key, "converged": depth <= 6,
+                 "html": html, "s1": s1, "s2": s2}
             )
         try:
             seq = span_sequence(html)
