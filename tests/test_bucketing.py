@@ -261,3 +261,26 @@ class TestIvfStored:
         plan = _formatted(got_df)
         pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
         assert pf and "bucket" in pf[0] and " IN " in pf[0], plan
+
+    def test_stored_index_cache_key_tracks_source_and_params(self, tmp_path):
+        """The /tmp layout cache key must change when the source table
+        is regenerated (mtime) or the layout params change — a stale
+        layout must never be probed against a newer table."""
+        import os
+        import time
+
+        from go_readability_spark.queries import _stored_index_path
+
+        sf = tmp_path / "sfX"
+        src = sf / "embeddings.parquet"
+        src.mkdir(parents=True)
+        (src / "part-0.parquet").write_bytes(b"x")
+
+        p1 = _stored_index_path(str(sf), "lsh", "4x64")
+        assert _stored_index_path(str(sf), "lsh", "4x64") == p1  # stable
+        assert _stored_index_path(str(sf), "lsh", "6x64") != p1  # params
+        assert _stored_index_path(str(sf), "ivf", "4x64") != p1  # kind
+        # regenerate the source -> new key
+        now = time.time()
+        os.utime(src / "part-0.parquet", (now + 5, now + 5))
+        assert _stored_index_path(str(sf), "lsh", "4x64") != p1
