@@ -401,3 +401,46 @@ class TestStreamDedupExact:
             for r in spark.read.parquet(out).collect()
         }
         assert hashes["A"] == batch_hash == hashes["D"]
+
+
+class TestStreamComposition:
+    def test_stateless_quality_gates_compose_with_stream(self, spark, tmp_path):
+        """The stateless text operators (Gopher gates, profile, lang-id)
+        are micro-batch-safe by construction — pure row-wise codegen, no
+        state, no watermark. Running them directly on the STREAMING
+        extraction output must yield exactly the batch pipeline's rows:
+        the composition a continuous-ingest cleaner runs."""
+        from go_readability_spark.operators.extract import extract_documents
+        from go_readability_spark.operators.textops import quality_filter
+        from go_readability_spark.streaming import extract_stream
+
+        inp = str(tmp_path / "qc_in")
+        corpus_df(spark, 30).write.parquet(inp)
+
+        def gated(ext):
+            text_df = ext.filter(F.size("spans_out") > 0).select(
+                "doc_id",
+                F.expr(
+                    "concat_ws(' ', transform(filter(spans_out,"
+                    " s -> s.kind = 'text'), s -> s.text))"
+                ).alias("text"),
+            )
+            return quality_filter(text_df)
+
+        q = (
+            gated(extract_stream(spark, inp))
+            .writeStream.format("memory")
+            .queryName("qgates")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {tuple(r) for r in spark.sql("select * from qgates").collect()}
+        batch = {
+            tuple(r)
+            for r in gated(
+                extract_documents(spark.read.parquet(inp), num_partitions=2)
+            ).collect()
+        }
+        assert got and got == batch
