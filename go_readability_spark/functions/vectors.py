@@ -104,12 +104,21 @@ def cosine_similarity_pandas(a: Column, b: Column) -> Column:
         if n == 0:
             return pd.Series([], dtype="float64")
         xa, xb = va.to_numpy(), vb.to_numpy()
-        # pairs of unequal length: the Catalyst zip_with reference
-        # null-pads, poisoning the fold to a NULL cosine (which a
-        # downstream `cos >= t` filter then DROPS — unlike NaN, which
-        # Spark's total ordering would keep). Emit real nulls for them.
-        lens_a = np.fromiter((len(v) for v in xa), dtype=np.int64, count=n)
-        lens_b = np.fromiter((len(v) for v in xb), dtype=np.int64, count=n)
+        # NULL vectors (isna) and pairs of unequal length: the Catalyst
+        # zip_with reference null-pads (or is null outright), poisoning
+        # the fold to a NULL cosine (which a downstream `cos >= t`
+        # filter then DROPS — unlike NaN, which Spark's total ordering
+        # would keep). Emit real nulls for them; len() must never see a
+        # null row (None has no len — it would kill the whole batch).
+        notnull = ~(va.isna().to_numpy() | vb.isna().to_numpy())
+        lens_a = np.fromiter(
+            (len(v) if m else -1 for v, m in zip(xa, notnull)),
+            dtype=np.int64, count=n,
+        )
+        lens_b = np.fromiter(
+            (len(v) if m else -2 for v, m in zip(xb, notnull)),
+            dtype=np.int64, count=n,
+        )
         ok = lens_a == lens_b
         if ok.all():
             x = np.stack(xa).astype(np.float64)

@@ -135,10 +135,16 @@ def with_lsh_bucket(
         if n == 0:
             return pd.Series([], dtype="int32")
         arrs = v.to_numpy()
-        # vectors whose length != dim: the Catalyst reference's zip_with
-        # null-pads, the null poisons the whole fold, and when(null)
-        # takes the otherwise-0 branch for EVERY plane → bucket 0
-        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+        # NULL vectors and vectors whose length != dim: the Catalyst
+        # reference's zip_with null-pads (or is null outright), the null
+        # poisons the whole fold, and when(null) takes the otherwise-0
+        # branch for EVERY plane → bucket 0. len() must never see a null
+        # row (None has no len — it would kill the whole batch).
+        notnull = ~v.isna().to_numpy()
+        lens = np.fromiter(
+            (len(a) if m else -1 for a, m in zip(arrs, notnull)),
+            dtype=np.int64, count=n,
+        )
         ok = lens == dim
         out = np.zeros(n, dtype=np.int64)
         if ok.any():
@@ -368,10 +374,16 @@ def ivf_cell_udf(cents):
             return pd.Series([], dtype="int32")
         arrs = v.to_numpy()
         dim = cmat.shape[1]
-        # length-mismatched vectors: the Catalyst zip_with reference
-        # null-poisons every distance → null cell → the probe equi-filter
-        # drops the row. Cell -1 (never a probe cid) reproduces that.
-        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+        # NULL and length-mismatched vectors: the Catalyst zip_with
+        # reference null-poisons every distance → null cell → the probe
+        # equi-filter drops the row. Cell -1 (never a probe cid)
+        # reproduces that; len() must never see a null row (None has no
+        # len — it would kill the whole batch).
+        notnull = ~v.isna().to_numpy()
+        lens = np.fromiter(
+            (len(a) if m else -1 for a, m in zip(arrs, notnull)),
+            dtype=np.int64, count=n,
+        )
         ok = lens == dim
         out = np.full(n, -1, dtype=np.int64)
         if ok.any():

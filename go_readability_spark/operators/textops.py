@@ -155,11 +155,15 @@ def quality_filter(
     hash_ratio = n_hash / denom_w
     ellipsis_ratio = n_ellipsis / denom_w
     # tokens-containing-a-letter counted directly on the text: \S runs
-    # are exactly the \s+-split tokens, and a run yields one match iff
-    # it contains a letter — same count as the filter(rlike) HOF without
-    # the interpreted per-token lambda
+    # are exactly the \s+-split tokens, and `[A-Za-z]\S*` yields exactly
+    # one match per run containing a letter (first letter anchors, \S*
+    # consumes to the run's end so no second match can start inside it)
+    # — same count as the filter(rlike) HOF without the interpreted
+    # per-token lambda. A leading \S* would backtrack O(n^2) on long
+    # letterless runs (100 KB digit blobs); this form fails each
+    # non-letter start position in O(1).
     n_alpha_words = F.size(
-        F.regexp_extract_all(text_nn, F.lit(r"\S*[A-Za-z]\S*"), 0)
+        F.regexp_extract_all(text_nn, F.lit(r"[A-Za-z]\S*"), 0)
     )
     alpha_frac = n_alpha_words / F.greatest(n_words, F.lit(1)).cast("double")
     lines = F.filter(

@@ -515,6 +515,11 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             " s -> s.text))"
         ).alias("text"),
     ).persist()
+    # eager materialization (house rule, see plans/cache.py): three
+    # consumers reference text_df, one of them through a broadcast —
+    # lazily-persisted plans race when consumed concurrently and each
+    # side recomputes the extraction UDF from scratch
+    text_df.count()
     profile = text_profile(text_df).select("doc_id", "n_tokens", "quality")
     lang = language_id(text_df).select("doc_id", "lang_pred")
     keepers = dedup_exact(text_df).select(

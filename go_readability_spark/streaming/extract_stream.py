@@ -70,7 +70,14 @@ def stream_dedup_exact(
             "text_hash",
             F.when(
                 F.col("html").isNull(),
-                F.concat(F.lit("malformed:"), F.col("doc_id")),
+                # coalesce the id with a per-row uuid: concat(null)
+                # would yield a NULL key, and dropDuplicatesWithinWatermark
+                # treats NULL keys as EQUAL — distinct malformed docs
+                # with null ids would silently collapse to one
+                F.concat(
+                    F.lit("malformed:"),
+                    F.coalesce(F.col("doc_id"), F.expr("uuid()")),
+                ),
             ).otherwise(norm_fingerprint(F.col("html"))),
         )
         .withWatermark(ts_col, watermark)

@@ -148,6 +148,7 @@ class TestEmbeddingLsh:
             (3, [0.5] * (dim + 3)),                 # too long
             (4, [0.25, -0.75, 1.5, -0.125]),        # plain
             (5, []),                                # empty
+            (6, None),                              # NULL vector
         ]
         emb = spark.createDataFrame(data, "vec_id int, embedding array<double>")
         got = (
@@ -161,6 +162,10 @@ class TestEmbeddingLsh:
         by_id = {r["vec_id"]: r["fast"] for r in got}
         assert by_id[1] == 7      # NaN: every bit set (total ordering)
         assert by_id[2] == 0 and by_id[3] == 0 and by_id[5] == 0
+        # NULL vector: the Catalyst fold is null → when(null) takes the
+        # otherwise-0 branch on every plane; the numpy path must not
+        # call len(None) (would kill the whole Arrow batch)
+        assert by_id[6] == 0
 
     def test_pandas_cosine_ragged_pair_yields_null(self, spark):
         """A pair of unequal-length vectors must produce a NULL cosine
@@ -175,6 +180,8 @@ class TestEmbeddingLsh:
             [
                 (1, [1.0, 2.0], [1.0, 2.0, 3.0]),
                 (2, [1.0, 2.0], [2.0, 1.0]),
+                (3, None, [1.0, 2.0]),              # NULL left vector
+                (4, [1.0, 2.0], None),              # NULL right vector
             ],
             "pid int, va array<double>, vb array<double>",
         )
@@ -185,11 +192,43 @@ class TestEmbeddingLsh:
         ).collect()
         by_id = {r["pid"]: r for r in rows}
         assert by_id[1]["ref"] is None and by_id[1]["fast"] is None
+        # NULL vectors: Catalyst zip_with(null, y) is null → null cosine;
+        # the numpy path must not call len(None) (batch-killer)
+        assert by_id[3]["ref"] is None and by_id[3]["fast"] is None
+        assert by_id[4]["ref"] is None and by_id[4]["fast"] is None
         assert by_id[2]["ref"] == by_id[2]["fast"] is not None
         kept = df.filter(
             cosine_similarity_pandas(F.col("va"), F.col("vb")) >= -1.0
         ).count()
-        assert kept == 1  # the ragged pair is dropped, not NaN-kept
+        assert kept == 1  # ragged and NULL pairs dropped, not NaN-kept
+
+
+class TestIvfCellHostile:
+    def test_null_and_ragged_vectors_land_in_cell_minus1(self, spark):
+        """NULL and length-mismatched vectors must assign cell -1 (never
+        probed) without killing the Arrow batch — the Catalyst reference
+        null-poisons their distances into a null cell, which the probe
+        equi-filter drops the same way."""
+        from go_readability_spark.operators.similarity import ivf_cell_udf
+
+        cents = [(0, [0.0, 0.0]), (1, [10.0, 10.0])]
+        df = spark.createDataFrame(
+            [
+                (1, [0.1, 0.2]),
+                (2, [9.0, 9.5]),
+                (3, None),
+                (4, [1.0]),
+                (5, []),
+            ],
+            "vec_id int, embedding array<double>",
+        )
+        got = {
+            r["vec_id"]: r["cell"]
+            for r in df.withColumn(
+                "cell", ivf_cell_udf(cents)(F.col("embedding"))
+            ).collect()
+        }
+        assert got == {1: 0, 2: 1, 3: -1, 4: -1, 5: -1}
 
 
 class TestIvfStored:

@@ -137,6 +137,46 @@ class TestQualityFilter:
         assert out[4]["pass_dup_lines"] is False
         assert out[5]["pass_alpha_words"] is False
 
+    def test_alpha_word_count_matches_token_filter_reference(self, spark):
+        """The codegen'd `[A-Za-z]\\S*` count must equal the per-token
+        filter(rlike) HOF reference — one match per letter-containing
+        \\S-run — including on a long letterless blob (the input where
+        a leading \\S* would backtrack O(n^2) and stall an executor)."""
+        from go_readability_spark.operators.textops import quality_filter
+
+        rows = [
+            (1, "abc 123 a1b 1a1 --- ...x x... ## #a#"),
+            (2, "1234567890" * 20_000),          # 200 KB letterless run
+            (3, ("9" * 5000 + "z" + "8" * 5000 + " ") * 3),
+            (4, ""),
+            (5, None),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        ref = docs.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+"),
+                    lambda w: w.rlike("[A-Za-z]"),
+                )
+            ).alias("n_alpha_ref"),
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+"),
+                    lambda w: w != "",
+                )
+            ).alias("n_words_ref"),
+        )
+        got = quality_filter(docs).select(
+            "doc_id", "n_words", "alpha_word_frac"
+        )
+        for r in got.join(ref, "doc_id").collect():
+            denom = max(r["n_words_ref"], 1)
+            assert r["n_words"] == r["n_words_ref"], r
+            assert r["alpha_word_frac"] == round(
+                r["n_alpha_ref"] / denom, 6
+            ), r
+
 
 class TestComponents:
     def test_chain_needs_multiple_iterations(self, spark):

@@ -17,6 +17,7 @@ sys.path.insert(0, ".")
 
 import duckdb  # noqa: E402
 
+from go_readability_spark.plans.cache import persist_scope  # noqa: E402
 from go_readability_spark.plans.session import get_spark  # noqa: E402
 from go_readability_spark.queries import oracle_sql, queries  # noqa: E402
 
@@ -91,15 +92,23 @@ def main():
         if only and name not in only:
             continue
         try:
-            df = fn(spark, sf_dir)
-            if name in GOLDEN_SF_BOUND and not at_golden_sf:
-                # golden pinned at the driver's correctness SF (sf0.01);
-                # at other scales only a rows-only check is meaningful
-                verdict = f"rows-only ({df.count()} rows; golden is sf0.01-bound)"
-            elif name in oracles:
-                verdict = compare(name, df, con, oracles[name])
-            else:
-                verdict = f"rows-only ({df.count()} rows)"
+            # scope per query (mirrors bench.py): operator persists and
+            # localCheckpoint blocks are freed after each comparison —
+            # without this, 34 queries' worth of persists accumulate in
+            # one session and pressure memory at larger SFs
+            with persist_scope(spark):
+                df = fn(spark, sf_dir)
+                if name in GOLDEN_SF_BOUND and not at_golden_sf:
+                    # golden pinned at the driver's correctness SF
+                    # (sf0.01); at other scales only a rows-only check
+                    # is meaningful
+                    verdict = (
+                        f"rows-only ({df.count()} rows; golden is sf0.01-bound)"
+                    )
+                elif name in oracles:
+                    verdict = compare(name, df, con, oracles[name])
+                else:
+                    verdict = f"rows-only ({df.count()} rows)"
         except Exception as exc:  # noqa: BLE001
             verdict = f"ERROR {type(exc).__name__}: {str(exc)[:300]}"
         status = "PASS" if verdict.startswith(("OK", "rows-only")) else "FAIL"
