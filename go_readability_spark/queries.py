@@ -469,6 +469,372 @@ def q_ann_topk_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# ANN quality: batched exact top-k, trained codebook, recall tables
+# --------------------------------------------------------------------------
+
+ANN_BATCH_QIDS = tuple(range(5, 165, 10))  # 16 queries, exist at every sf
+ANN_BATCH_K = 5
+ANN_RECALL_QIDS = tuple(range(3, 448, 7))  # 64-query panel (< 500 = min sf)
+ANN_RECALL_K = 10
+IVF_TRAIN_ITERS = 2
+IVF_NPROBES = (1, 2, 4, 8)
+PLANT_EPS = 0.02
+PLANT_OFFSET = 100000
+PLANT_T = 0.9
+
+
+def q_ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k for a 16-query panel in ONE plan — the production
+    many-queries ANN shape (broadcast panel, one scored pass, per-query
+    WindowGroupLimit top-k)."""
+    from .operators.ann_eval import ann_topk_batch
+
+    return ann_topk_batch(
+        load_table(spark, sf_dir, "embeddings"), ANN_BATCH_QIDS, ANN_BATCH_K
+    )
+
+
+def _norm_ctes() -> str:
+    """Shared oracle CTEs: the corpus with precomputed L2 norms (the
+    sqrt of the same self-dot fold Spark computes per pair — same
+    VALUE, reused for speed) and the rounded pairwise cosine follows
+    Spark's division order dot/nrm_left/nrm_right exactly."""
+    from .functions.vectors import dot_sql
+
+    nrm = f"sqrt({dot_sql('embedding', 'embedding')})"
+    return f"""
+en as (select vec_id, embedding, {nrm} nrm from embeddings)
+"""
+
+
+def _cos_pair(a: str, b: str, anrm: str, bnrm: str) -> str:
+    from .functions.vectors import dot_sql
+
+    return f"round({dot_sql(a, b)} / {anrm} / {bnrm}, 6)"
+
+
+def _oracle_ann_topk_batch() -> str:
+    qids = ", ".join(str(q) for q in ANN_BATCH_QIDS)
+    cos = _cos_pair("c.embedding", "q.qv", "c.nrm", "q.qnrm")
+    return f"""
+with {_norm_ctes().strip()},
+q as (select vec_id qid, embedding qv, nrm qnrm from en
+      where vec_id in ({qids}))
+select qid::bigint qid, vec_id::bigint vec_id, cos, rank from (
+  select q.qid, c.vec_id, {cos} cos,
+    row_number() over (partition by q.qid
+                       order by {cos} desc, c.vec_id) rank
+  from en c join q on c.vec_id != q.qid) t
+where rank <= {ANN_BATCH_K}
+"""
+
+
+def _kmeans_ctes(n_centroids: int, iters: int, dim: int) -> tuple:
+    """DuckDB CTE chain replicating ``train_codebook`` bit-for-bit
+    (see ann_eval.train_codebook: assignment = argmin of the l2sq left
+    fold with ties to the smaller cid; update = per-dimension
+    sequential left fold in vec_id order divided by the cell count;
+    empty cells keep the previous centroid). Returns (cte_list,
+    final_cents_name, seed_assigned_name) — the seed assignment is
+    ``assigned0`` (under the seed codebook cents0)."""
+    from .functions.vectors import l2sq_sql
+
+    parts = [
+        f"cents0 as (select vec_id cid, embedding::double[] cvec "
+        f"from embeddings where vec_id < {n_centroids})"
+    ]
+    for i in range(iters):
+        d = l2sq_sql("e.embedding", "c.cvec")
+        parts.append(
+            f"""assigned{i} as (
+  select vec_id, embedding, cid from (
+    select e.vec_id, e.embedding, c.cid,
+      row_number() over (partition by e.vec_id order by {d}, c.cid) rn
+    from embeddings e cross join cents{i} c
+    where len(e.embedding) = {dim}) t
+  where rn = 1)"""
+        )
+        parts.append(
+            f"""upd{i} as (
+  select cid, list(av order by d) cvec from (
+    select a.cid, dd.d,
+      list_reduce(list_prepend(0.0::double,
+        list(a.embedding[dd.d]::double order by a.vec_id)),
+        (acc, x) -> acc + x) / count(*) av
+    from assigned{i} a
+    cross join (select unnest(range(1, {dim + 1}))::int d) dd
+    group by a.cid, dd.d) t
+  group by cid)"""
+        )
+        parts.append(
+            f"""cents{i + 1} as (
+  select c.cid, coalesce(u.cvec, c.cvec) cvec
+  from cents{i} c left join upd{i} u using (cid))"""
+        )
+    return parts, f"cents{iters}", "assigned0"
+
+
+def q_ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe with a Lloyd's-trained codebook (2 DataFrame-ops
+    k-means iterations, deterministic and oracle-unrolled) — same plan
+    shape as ann_topk_ivf, better recall at equal nprobe."""
+    from .operators.ann_eval import ann_topk_ivf_trained
+
+    return ann_topk_ivf_trained(
+        load_table(spark, sf_dir, "embeddings"),
+        ANN_QUERY_ID,
+        ANN_K,
+        n_centroids=IVF_CENTROIDS,
+        nprobe=IVF_NPROBE,
+        iters=IVF_TRAIN_ITERS,
+        dim=EMB_DIM,
+    )
+
+
+def _oracle_ann_topk_ivf_trained() -> str:
+    from .functions.vectors import l2sq_sql
+
+    ctes, cents, _ = _kmeans_ctes(IVF_CENTROIDS, IVF_TRAIN_ITERS, EMB_DIM)
+    d_ec = l2sq_sql("e.embedding", "c.cvec")
+    d_qc = l2sq_sql("q.qv", "c.cvec")
+    cos = cosine_similarity_sql("a.embedding", "q.qv")
+    joined = ",\n".join(ctes)
+    return f"""
+with {joined},
+assigned_t as (
+  select vec_id, embedding, cid from (
+    select e.vec_id, e.embedding, c.cid,
+      row_number() over (partition by e.vec_id order by {d_ec}, c.cid) rn
+    from embeddings e cross join {cents} c
+    where len(e.embedding) = {EMB_DIM}) t
+  where rn = 1),
+q as (select embedding qv from embeddings where vec_id = {ANN_QUERY_ID}),
+qprobe as (
+  select c.cid from {cents} c cross join q
+  order by {d_qc}, c.cid limit {IVF_NPROBE})
+select a.vec_id::bigint vec_id, round({cos}, 6) cos
+from assigned_t a, q
+where a.vec_id != {ANN_QUERY_ID} and a.cid in (select cid from qprobe)
+order by cos desc, vec_id
+limit {ANN_K}
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 + scanned-corpus fraction of every approximate ANN
+    variant (LSH single/multi-probe, IVF seed + trained codebooks at
+    nprobe 1/2/4/8) against the exact top-k over a fixed 64-query
+    panel — the quality table an index tuner reads. Every number is
+    deterministic and hash-checked against the DuckDB oracle."""
+    from .operators.ann_eval import ann_recall_table
+
+    return ann_recall_table(
+        load_table(spark, sf_dir, "embeddings"),
+        ANN_RECALL_QIDS,
+        k=ANN_RECALL_K,
+        n_planes=ANN_LSH_PLANES,
+        dim=EMB_DIM,
+        n_centroids=IVF_CENTROIDS,
+        nprobes=IVF_NPROBES,
+        trained_iters=IVF_TRAIN_ITERS,
+    )
+
+
+def _oracle_ann_recall() -> str:
+    from .functions.vectors import l2sq_sql
+    from .operators.similarity import lsh_bucket_sql
+
+    k = ANN_RECALL_K
+    nq = len(ANN_RECALL_QIDS)
+    qids = ", ".join(str(q) for q in ANN_RECALL_QIDS)
+    bucket = lsh_bucket_sql("embedding", ANN_LSH_PLANES, EMB_DIM)
+    cos_cq = _cos_pair("c.embedding", "p.qv", "c.nrm", "p.qnrm")
+    cos_eq = _cos_pair("c.embedding", "q.qv", "c.nrm", "q.qnrm")
+    d_qc = l2sq_sql("q.qv", "c.cvec")
+    d_ec = l2sq_sql("e.embedding", "c.cvec")
+    km_ctes, cents_tr, assigned_seed = _kmeans_ctes(
+        IVF_CENTROIDS, IVF_TRAIN_ITERS, EMB_DIM
+    )
+    multi_probes = "\n  union all\n".join(
+        f"  select qid, qv, qnrm, xor(qbucket, {1 << p}) pbucket, 1 prank "
+        "from qb"
+        for p in range(ANN_LSH_PLANES)
+    )
+
+    def topk_cte(name, cand_sql):
+        return f"""{name} as (
+  select qid, vec_id from (
+    select qid, vec_id,
+      row_number() over (partition by qid order by cos desc, vec_id) rk
+    from ({cand_sql}) c0) t
+  where rk <= {k})"""
+
+    variants = []  # (variant_name, candidate_filter_sql_on_base)
+    summaries = []
+
+    def add_variant(name, cand_from):
+        variants.append(topk_cte(f"tk_{name}", cand_from))
+        summaries.append(
+            f"""select '{name}' variant,
+  (select count(*) from ({cand_from}) cc) sum_candidates,
+  (select count(*) from tk_{name} v join exact x
+     on v.qid = x.qid and v.vec_id = x.vec_id) sum_hits"""
+        )
+
+    add_variant("lsh_single", "select * from lshc where prank = 0")
+    add_variant("lsh_multi", "select * from lshc")
+    for np_ in IVF_NPROBES:
+        add_variant(
+            f"ivf_seed_np{np_}", f"select * from ivfc_seed where cr <= {np_}"
+        )
+        add_variant(
+            f"ivf_trained_np{np_}", f"select * from ivfc_tr where cr <= {np_}"
+        )
+
+    km = ",\n".join(km_ctes)
+    variant_ctes = ",\n".join(variants)
+    summary_union = "\nunion all\n".join(summaries)
+    return f"""
+with {_norm_ctes().strip()},
+q as (select vec_id qid, embedding qv, nrm qnrm from en
+      where vec_id in ({qids})),
+exact as (
+  select qid, vec_id from (
+    select q.qid, c.vec_id,
+      row_number() over (partition by q.qid
+                         order by {cos_eq} desc, c.vec_id) rk
+    from en c join q on c.vec_id != q.qid) t
+  where rk <= {k}),
+bk as (select vec_id, embedding, nrm, {bucket} bucket from en),
+qb as (select q.qid, q.qv, q.qnrm, b.bucket qbucket
+       from q join bk b on b.vec_id = q.qid),
+lshp as (
+  select qid, qv, qnrm, qbucket pbucket, 0 prank from qb
+  union all
+{multi_probes}),
+lshc as (
+  select p.qid, c.vec_id, {cos_cq} cos, p.prank
+  from bk c join lshp p on c.bucket = p.pbucket and c.vec_id != p.qid),
+{km},
+assigned_tr as (
+  select vec_id, embedding, cid from (
+    select e.vec_id, e.embedding, c.cid,
+      row_number() over (partition by e.vec_id order by {d_ec}, c.cid) rn
+    from embeddings e cross join {cents_tr} c
+    where len(e.embedding) = {EMB_DIM}) t
+  where rn = 1),
+qr_seed as (
+  select q.qid, q.qv, q.qnrm, c.cid,
+    row_number() over (partition by q.qid order by {d_qc}, c.cid) cr
+  from q cross join cents0 c),
+qr_tr as (
+  select q.qid, q.qv, q.qnrm, c.cid,
+    row_number() over (partition by q.qid order by {d_qc}, c.cid) cr
+  from q cross join {cents_tr} c),
+ivfc_seed as (
+  select p.qid, c.vec_id, {cos_cq} cos, p.cr
+  from (select a.vec_id, a.cid, en.embedding, en.nrm
+        from {assigned_seed} a join en on a.vec_id = en.vec_id) c
+  join qr_seed p on c.cid = p.cid and c.vec_id != p.qid),
+ivfc_tr as (
+  select p.qid, c.vec_id, {cos_cq} cos, p.cr
+  from (select a.vec_id, a.cid, en.embedding, en.nrm
+        from assigned_tr a join en on a.vec_id = en.vec_id) c
+  join qr_tr p on c.cid = p.cid and c.vec_id != p.qid),
+{variant_ctes},
+summary as (
+{summary_union})
+select variant, {nq}::bigint n_queries, {k}::bigint k,
+  sum_candidates::bigint sum_candidates, sum_hits::bigint sum_hits,
+  sum_hits / {float(nq * k)!r} recall_at_k,
+  sum_candidates
+    / (({nq} * ((select count(*) from embeddings) - 1))::double)
+    candidate_frac
+from summary
+"""
+
+
+def q_embedding_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-recall of the LSH near-dup join vs the exact all-pairs
+    block at the corpus threshold — the honest isotropic-data number
+    (most 0.3-cosine pairs do NOT share a 6-plane bucket; see the
+    planted twin query for recall on TRUE near-duplicates)."""
+    from .operators.ann_eval import embedding_pair_recall
+
+    return embedding_pair_recall(
+        load_table(spark, sf_dir, "embeddings"),
+        EMB_NEAR_T,
+        n_planes=EMB_LSH_PLANES,
+        dim=EMB_DIM,
+    )
+
+
+def _pair_recall_sql(corpus_sql: str, threshold, n_planes: int) -> str:
+    """Shared pair-recall oracle: exact all-pairs vs bucket-join pairs
+    over an arbitrary corpus CTE body, norms precomputed."""
+    from .functions.vectors import dot_sql
+    from .operators.similarity import lsh_bucket_sql
+
+    nrm = f"sqrt({dot_sql('embedding', 'embedding')})"
+    bucket = lsh_bucket_sql("embedding", n_planes, EMB_DIM)
+    cos = _cos_pair("a.embedding", "b.embedding", "a.nrm", "b.nrm")
+    return f"""
+with corpus as ({corpus_sql}),
+en as (select vec_id, embedding, {nrm} nrm, {bucket} bucket from corpus),
+exact as (
+  select a.vec_id va, b.vec_id vb
+  from en a join en b on a.vec_id < b.vec_id
+  where {cos} >= {threshold}),
+lsh as (
+  select a.vec_id va, b.vec_id vb
+  from en a join en b on a.bucket = b.bucket and a.vec_id < b.vec_id
+  where {cos} >= {threshold})
+select
+  (select count(*) from exact)::bigint n_exact,
+  (select count(*) from lsh)::bigint n_lsh,
+  (select count(*) from lsh join exact using (va, vb))::bigint n_common,
+  (select count(*) from lsh join exact using (va, vb))
+    / (greatest((select count(*) from exact), 1)::double) pair_recall
+"""
+
+
+def _oracle_embedding_pair_recall() -> str:
+    return _pair_recall_sql(
+        "select vec_id, embedding from embeddings",
+        EMB_NEAR_T,
+        EMB_LSH_PLANES,
+    )
+
+
+def q_embedding_pair_recall_planted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pair-recall on PLANTED near-duplicates: every vector gets one
+    deterministic jittered twin (cos ≈ 0.995, in-engine md5 noise the
+    oracle reproduces exactly), and the LSH join must find the twin
+    pairs at threshold 0.9 — the quality number that matters for dedup
+    (sign-LSH collision probability (1 - θ/π)^planes ≈ 0.84 here)."""
+    from .operators.ann_eval import embedding_pair_recall, jittered_embeddings
+
+    corpus = jittered_embeddings(
+        load_table(spark, sf_dir, "embeddings"), PLANT_EPS, PLANT_OFFSET
+    )
+    return embedding_pair_recall(
+        corpus, PLANT_T, n_planes=EMB_LSH_PLANES, dim=EMB_DIM
+    )
+
+
+def _oracle_embedding_pair_recall_planted() -> str:
+    from .operators.ann_eval import jitter_sql
+
+    return _pair_recall_sql(
+        jitter_sql(PLANT_EPS, PLANT_OFFSET, EMB_DIM).strip(),
+        PLANT_T,
+        EMB_LSH_PLANES,
+    )
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path embedding near-dup (bucketed LSH join); bucket ids are
     deterministic, so the oracle mirrors the bucket equi-join exactly."""
@@ -1158,6 +1524,11 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_lsh_stored": q_ann_topk_lsh_stored,
     "ann_topk_ivf_stored": q_ann_topk_ivf_stored,
+    "ann_topk_batch": q_ann_topk_batch,
+    "ann_topk_ivf_trained": q_ann_topk_ivf_trained,
+    "ann_recall": q_ann_recall,
+    "embedding_pair_recall": q_embedding_pair_recall,
+    "embedding_pair_recall_planted": q_embedding_pair_recall_planted,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "render_formats": q_render_formats,
@@ -1230,6 +1601,11 @@ ORACLES: dict[str, str] = {
     # partition pruning instead of a row filter)
     "ann_topk_lsh_stored": _oracle_ann_topk_lsh(),
     "ann_topk_ivf_stored": _oracle_ann_topk_ivf(),
+    "ann_topk_batch": _oracle_ann_topk_batch(),
+    "ann_topk_ivf_trained": _oracle_ann_topk_ivf_trained(),
+    "ann_recall": _oracle_ann_recall(),
+    "embedding_pair_recall": _oracle_embedding_pair_recall(),
+    "embedding_pair_recall_planted": _oracle_embedding_pair_recall_planted(),
     "dedup_embedding_lsh": _oracle_dedup_embedding_lsh(),
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
