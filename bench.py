@@ -104,6 +104,16 @@ def main() -> None:
     total_bytes = sum(r["total_bytes"] for r in roll)
 
     timings: dict[str, float] = {}
+    # quality numbers worth trending across rounds, captured from the
+    # same runs the timing loop performs (collect instead of count for
+    # these tiny result sets; values are deterministic, so any repeat's
+    # rows are THE rows)
+    quality_queries = {
+        "ann_recall",
+        "embedding_pair_recall",
+        "embedding_pair_recall_planted",
+    }
+    quality: dict[str, object] = {}
     if not skip_queries:
         # min of 2 runs per query: the sandbox's bursty external CPU
         # interference can inflate a single run several-fold (round 1
@@ -124,7 +134,26 @@ def main() -> None:
                     # storage footprint stays bounded and repeats start
                     # cold
                     with persist_scope(spark):
-                        fn(spark, sf_dir).count()
+                        if name in quality_queries:
+                            rows = fn(spark, sf_dir).collect()
+                            if name == "ann_recall":
+                                quality[name] = {
+                                    r["variant"]: {
+                                        "recall_at_k": round(
+                                            r["recall_at_k"], 4
+                                        ),
+                                        "candidate_frac": round(
+                                            r["candidate_frac"], 4
+                                        ),
+                                    }
+                                    for r in rows
+                                }
+                            else:
+                                quality[name] = round(
+                                    rows[0]["pair_recall"], 4
+                                )
+                        else:
+                            fn(spark, sf_dir).count()
                     el = round(time.time() - t, 3)
                     best = el if best is None else min(best, el)
                 except Exception as exc:  # noqa: BLE001
@@ -140,6 +169,7 @@ def main() -> None:
         "value": round(extract_sec, 3),
         "unit": "sec",
         "queries": timings,
+        "quality": quality,
         "sf": sf,
         # every figure in this JSON (headline + per-query) was measured
         # at cpus_used executor threads; cpus_env is what the caller

@@ -381,9 +381,41 @@ def _stored_index_path(sf_dir: str, kind: str, params: str) -> str:
     except OSError:
         stamp = "0"
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(
+    path = os.path.join(
         tempfile.gettempdir(), f"gr_spark_{kind}_{tag}_{params}_{stamp}"
     )
+    _age_out_stale_indexes(f"gr_spark_{kind}_{tag}_", os.path.basename(path))
+    return path
+
+
+def _age_out_stale_indexes(
+    prefix: str, keep_basename: str, grace_sec: int = 3600
+) -> None:
+    """Best-effort removal of SUPERSEDED stored-index cache dirs (same
+    kind+sf, different params/stamp) so rotated keys don't accumulate
+    in /tmp across rounds. A one-hour grace period protects a
+    concurrent process still probing a layout whose key just rotated;
+    in-flight ``.building.<pid>`` siblings are never touched (they are
+    younger than the grace period by construction)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    tmp = tempfile.gettempdir()
+    try:
+        entries = os.listdir(tmp)
+    except OSError:
+        return
+    now = _time.time()
+    for name in entries:
+        if not name.startswith(prefix) or name == keep_basename:
+            continue
+        full = os.path.join(tmp, name)
+        try:
+            if now - os.path.getmtime(full) > grace_sec:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def _build_index_once(path: str, build) -> str:
