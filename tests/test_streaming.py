@@ -444,3 +444,142 @@ class TestStreamComposition:
             ).collect()
         }
         assert got and got == batch
+
+
+class TestStreamBatchOracleExtraction:
+    def test_streaming_extraction_equals_batch_at_corpus_scale(
+        self, spark, tmp_path
+    ):
+        """Stream-vs-batch ORACLE for extraction (the pattern
+        test_stream_sessionize_matches_batch_oracle established for
+        sessionize): availableNow streaming extraction over the FULL
+        200-doc synthetic corpus — every correctness population,
+        including malformed edge docs that become error rows — must
+        produce byte-identical doc-level output to the batch operator:
+        same span-sequence hash, same error, per doc_id."""
+        from go_readability_spark.operators.extract import extract_documents
+
+        inp = str(tmp_path / "sb_in")
+        out = str(tmp_path / "sb_out")
+        corpus_df(spark, 200).write.parquet(inp)
+
+        q = run_extract_stream(spark, inp, out, str(tmp_path / "sb_ckpt"))
+        q.awaitTermination(300)
+
+        def doc_level(df):
+            return {
+                r["doc_id"]: (r["h"], r["error"])
+                for r in df.select(
+                    "doc_id",
+                    F.md5(F.to_json("spans_out")).alias("h"),
+                    "error",
+                ).collect()
+            }
+
+        got = doc_level(spark.read.parquet(out))
+        want = doc_level(
+            extract_documents(spark.read.parquet(inp), num_partitions=4)
+        )
+        assert len(got) == len(want) == 200
+        assert got == want
+        # the corpus includes at least one error-row population; both
+        # paths must agree on WHICH docs errored, not just the count
+        errs_got = {d for d, (_, e) in got.items() if e is not None}
+        errs_want = {d for d, (_, e) in want.items() if e is not None}
+        assert errs_got == errs_want
+
+
+class TestStreamDedupExtractPipeline:
+    def test_landing_dedup_extract_composes_and_matches_batch(
+        self, spark, tmp_path
+    ):
+        """The full continuous-ingest composition in ONE availableNow
+        pipeline: landing stream -> stream_dedup_exact ->
+        extract_documents -> sink. The KEPT CONTENT SET must equal the
+        batch dedup_exact keeper set over the same files (the
+        documented contract: streaming picks first-arrival, batch picks
+        min(doc_id) — representatives may differ, content may not), and
+        malformed docs must flow THROUGH dedup into extraction error
+        rows, never be silently deduplicated."""
+        import datetime as dt
+
+        from go_readability_spark.functions.text import norm_fingerprint
+        from go_readability_spark.operators.dedup import dedup_exact
+        from go_readability_spark.operators.extract import extract_documents
+        from go_readability_spark.plans.skew import with_reassembled_html
+        from go_readability_spark.streaming import stream_dedup_exact
+
+        inp = str(tmp_path / "pl_in")
+        out = str(tmp_path / "pl_out")
+        base = dt.datetime(2026, 1, 1, 12, 0, 0)
+        ddl = (
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>, ingest_ts timestamp"
+        )
+
+        def doc(doc_id, paras, minutes=0):
+            spans = [
+                ("text", f"<p>{p}</p>", None, i) for i, p in enumerate(paras)
+            ]
+            return (doc_id, spans, base + dt.timedelta(minutes=minutes))
+
+        body = [
+            "The quick brown fox jumps over the lazy dog again and again.",
+            "A second paragraph with enough prose to score as content.",
+            "Closing thoughts stretch the article past the char threshold.",
+        ]
+        other = ["Completely different article body, also long enough."] * 3
+        rows = [
+            doc("A", body, 0),
+            doc("B", body, 5),                       # exact duplicate of A
+            doc("C", [p.upper() for p in body], 9),  # case-variant of A
+            doc("D", other, 3),
+            # malformed: null offset -> NULL reassembly -> error row
+            ("M1", [("text", "broken", None, None)], base),
+            ("M2", [("text", "also broken", None, None)], base),
+        ]
+        spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(inp)
+
+        deduped = stream_dedup_exact(
+            spark.readStream.schema(ddl).parquet(inp), watermark="1 hour"
+        )
+        extracted = extract_documents(
+            deduped.select("doc_id", "spans"), repartition=False
+        )
+        q = (
+            extracted.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "pl_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out).collect()
+
+        # malformed docs both survived dedup and became error rows
+        errs = {r["doc_id"] for r in got if r["error"] is not None}
+        assert errs == {"M1", "M2"}
+
+        # kept-content set == batch keeper content set
+        batch = with_reassembled_html(spark.read.parquet(inp)).filter(
+            F.col("html").isNotNull()
+        )
+        batch_keeper_hashes = {
+            r["text_hash"]
+            for r in dedup_exact(batch, text_col="html").collect()
+        }
+        src = {
+            r["doc_id"]: r["h"]
+            for r in batch.select(
+                "doc_id", norm_fingerprint(F.col("html")).alias("h")
+            ).collect()
+        }
+        stream_kept_hashes = {
+            src[r["doc_id"]] for r in got if r["error"] is None
+        }
+        assert stream_kept_hashes == batch_keeper_hashes
+        # exactly one representative per content group flowed through
+        assert len([r for r in got if r["error"] is None]) == len(
+            batch_keeper_hashes
+        )
