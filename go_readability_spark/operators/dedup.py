@@ -489,7 +489,11 @@ def dedup_components(
     Raises RuntimeError if ``max_iter`` rounds pass without reaching
     the fixpoint (wrong labels must not be returned silently).
 
-    ``stats`` (optional dict) receives {"rounds": int} for tests.
+    ``stats`` (optional dict) receives {"rounds": int, "edge_counts":
+    [int per round]} — the per-round edge count is read from the SAME
+    Observation that computes the convergence signature, so recording
+    it costs zero extra jobs; it is the per-round shuffle-volume proxy
+    (each round shuffles O(|E_round|) rows twice).
     Output: (doc_id, component_id, component_size).
     """
     from pyspark.sql import Observation
@@ -532,6 +536,7 @@ def dedup_components(
     prev_ids: set = set()
     converged = False
     rounds = 0
+    edge_counts: list = []
     try:
         for rounds in range(1, max_iter + 1):
             sym = edges.select(
@@ -589,6 +594,7 @@ def dedup_components(
             new_edges, new_ids = _checkpoint(observed)
             m = obs.get
             sig = (m["n"], m["sa"], m["sb"], m["h"])
+            edge_counts.append(int(m["n"]))
             if sig == prev_sig:
                 # exact confirmation — only ever runs at candidate
                 # convergence, so it is once per call, not per round
@@ -611,6 +617,7 @@ def dedup_components(
             )
         if stats is not None:
             stats["rounds"] = rounds
+            stats["edge_counts"] = edge_counts
         # fixpoint = min-rooted star forest: every node's component is
         # the min of itself and its neighbors (the root for leaves, the
         # node itself for roots); nodes is the ORIGINAL node set, so

@@ -227,6 +227,34 @@ class TestComponents:
         assert all(r["component_size"] == n for r in rows.values())
         assert stats["rounds"] <= int(math.log2(n)) + 4
 
+    def test_mega_chain_converges_in_log_rounds_bounded_edges(self, spark):
+        """One order of magnitude up (tools/dedup_scale.py scale): a
+        4096-node path — diameter 4095, so plain min-label propagation
+        needs ~4095 rounds — must close in <= log2(n)+4 = 16 rounds,
+        and the per-round shuffled edge count (stats['edge_counts'],
+        read for free from the convergence Observation) must never
+        exceed 2x the input edges: star rewiring reshapes the edge
+        set, it does not blow it up. This is the empirical bounded-
+        state proof for the 100 TB chain-of-templated-pages shape."""
+        import math
+
+        from go_readability_spark.operators.dedup import dedup_components
+
+        n = 4096
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+        ).repartition(8)
+        stats: dict = {}
+        out = dedup_components(pairs, max_iter=20, stats=stats)
+        agg = out.groupBy("component_id", "component_size").count().collect()
+        assert len(agg) == 1
+        assert agg[0]["component_id"] == 0
+        assert agg[0]["component_size"] == n
+        assert agg[0]["count"] == n
+        assert stats["rounds"] <= int(math.log2(n)) + 4
+        assert len(stats["edge_counts"]) == stats["rounds"]
+        assert max(stats["edge_counts"]) <= 2 * (n - 1)
+
     def test_random_graphs_match_bruteforce(self, spark):
         """Randomized cross-check: star-algorithm labels equal a
         driver-side union-find ground truth on arbitrary graphs."""
