@@ -120,7 +120,13 @@ def cosine_similarity_pandas(a: Column, b: Column) -> Column:
             dtype=np.int64, count=n,
         )
         ok = lens_a == lens_b
-        if ok.all():
+        # np.stack needs ONE dim across the whole stack, but ok only
+        # guarantees per-ROW equality: two len-32 pairs in a batch of
+        # len-64 pairs would make the stack ragged and kill the task.
+        # Stack per length group instead (one group on clean data — the
+        # fast path is unchanged); per-row op order is identical, so
+        # values stay bit-equal to the Catalyst/DuckDB fold.
+        if ok.all() and (lens_a == lens_a[0]).all():
             x = np.stack(xa).astype(np.float64)
             y = np.stack(xb).astype(np.float64)
             cos = _np_fold_dot(x, y) / np.sqrt(_np_fold_dot(x, x)) / np.sqrt(
@@ -128,13 +134,14 @@ def cosine_similarity_pandas(a: Column, b: Column) -> Column:
             )
             return pd.Series(cos)
         out = pd.array([None] * n, dtype="Float64")
-        if ok.any():
-            x = np.stack(xa[ok]).astype(np.float64)
-            y = np.stack(xb[ok]).astype(np.float64)
+        for length in np.unique(lens_a[ok]) if ok.any() else ():
+            sel = ok & (lens_a == length)
+            x = np.stack(xa[sel]).astype(np.float64)
+            y = np.stack(xb[sel]).astype(np.float64)
             cos = _np_fold_dot(x, y) / np.sqrt(_np_fold_dot(x, x)) / np.sqrt(
                 _np_fold_dot(y, y)
             )
-            out[ok] = cos
+            out[sel] = cos
         return pd.Series(out)
 
     return _cos(a, b)

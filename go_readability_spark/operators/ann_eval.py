@@ -135,10 +135,15 @@ def train_codebook(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed=None,
 ):
     """Lloyd's k-means codebook as DataFrame ops, deterministic and
     cross-engine exact (see module docstring). Returns ``[(cid, vec),
     ...]`` sorted by cid — a drop-in for ``seed_codebook``.
+
+    ``seed``: precomputed ``seed_codebook`` result to start from — pass
+    it when the caller already collected one (ann_recall_table does) so
+    the seed's filter+collect scan over the source runs once, not twice.
 
     Each iteration: assign every vector to its nearest centroid (the
     Arrow ``ivf_cell_udf`` map pass; ragged/NULL vectors land in cell -1
@@ -146,7 +151,11 @@ def train_codebook(
     per-dimension sequential left fold in vec_id order divided by the
     cell count — the exact arithmetic the DuckDB oracle unrolls. Cells
     that lost every member keep their previous centroid."""
-    cents = seed_codebook(embeddings, n_centroids, id_col, vec_col)
+    cents = (
+        seed
+        if seed is not None
+        else seed_codebook(embeddings, n_centroids, id_col, vec_col)
+    )
     emb = embeddings.select(id_col, vec_col)
 
     def _cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -266,7 +275,8 @@ def ann_recall_table(
     n_queries = len(qrows)
     cents_seed = seed_codebook(embeddings, n_centroids, id_col, vec_col)
     cents_tr = train_codebook(
-        embeddings, n_centroids, trained_iters, dim, id_col, vec_col
+        embeddings, n_centroids, trained_iters, dim, id_col, vec_col,
+        seed=cents_seed,
     )
 
     # ONE pass computes every per-vector index column (LSH bucket, seed
@@ -469,7 +479,16 @@ def jittered_embeddings(
 
 def jitter_sql(eps: float = 0.02, id_offset: int = 100000, dim: int = 64) -> str:
     """DuckDB CTE body producing the identical jittered corpus as
-    ``jittered_embeddings`` (same md5 seeds, same arithmetic order)."""
+    ``jittered_embeddings`` (same md5 seeds, same arithmetic order).
+
+    The twin is built with an INDEXED lambda over the source list —
+    not ``range(1, dim+1)`` — so it preserves each vector's actual
+    length exactly like Spark's ``F.transform``: a ragged source vector
+    must jitter to a ragged twin on both engines (the range form would
+    NULL-pad DuckDB's twin to ``dim`` while Spark kept the short
+    length, and the two engines' pair cosines would then null-poison
+    differently). ``dim`` is kept in the signature for call
+    compatibility; the SQL no longer needs it."""
     noise = (
         "(cast(concat('0x', substr(md5('jit:' || vec_id::varchar || ':' "
         "|| i::varchar), 1, 8)) as bigint) % 2001 - 1000) / 1000.0"
@@ -479,8 +498,7 @@ def jitter_sql(eps: float = 0.02, id_offset: int = 100000, dim: int = 64) -> str
 select vec_id, embedding::double[] embedding from embeddings
 union all
 select vec_id + {id_offset},
-  list_transform(range(1, {dim + 1}),
-    i -> embedding[i]::double + {noise})
+  list_transform(embedding, (x, i) -> x::double + {noise})
 from embeddings
 """
 

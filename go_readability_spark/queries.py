@@ -393,10 +393,15 @@ def _age_out_stale_indexes(
 ) -> None:
     """Best-effort removal of SUPERSEDED stored-index cache dirs (same
     kind+sf, different params/stamp) so rotated keys don't accumulate
-    in /tmp across rounds. A one-hour grace period protects a
-    concurrent process still probing a layout whose key just rotated;
-    in-flight ``.building.<pid>`` siblings are never touched (they are
-    younger than the grace period by construction)."""
+    in /tmp across rounds. Mark-then-sweep: the first observer of a
+    superseded dir stamps ``.superseded`` inside it and deletes only
+    once the STAMP is older than the grace period — the clock starts at
+    key rotation, not at build time, so a long-lived reader of a
+    just-rotated layout gets the full grace window (a dir's own mtime
+    says when it was BUILT, which is unrelated). In-flight
+    ``.building.<pid>`` siblings are skipped while their builder pid is
+    alive (builds may legitimately run longer than the grace period);
+    orphans from crashed builders are swept once old."""
     import shutil
     import tempfile
     import time as _time
@@ -412,7 +417,18 @@ def _age_out_stale_indexes(
             continue
         full = os.path.join(tmp, name)
         try:
-            if now - os.path.getmtime(full) > grace_sec:
+            if ".building." in name:
+                pid = name.rsplit(".", 1)[-1]
+                if pid.isdigit() and os.path.exists(f"/proc/{pid}"):
+                    continue
+                if now - os.path.getmtime(full) > grace_sec:
+                    shutil.rmtree(full, ignore_errors=True)
+                continue
+            stamp = os.path.join(full, ".superseded")
+            if not os.path.exists(stamp):
+                with open(stamp, "w"):
+                    pass
+            elif now - os.path.getmtime(stamp) > grace_sec:
                 shutil.rmtree(full, ignore_errors=True)
         except OSError:
             continue

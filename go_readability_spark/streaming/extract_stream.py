@@ -70,13 +70,28 @@ def stream_dedup_exact(
             "text_hash",
             F.when(
                 F.col("html").isNull(),
-                # coalesce the id with a per-row uuid: concat(null)
-                # would yield a NULL key, and dropDuplicatesWithinWatermark
-                # treats NULL keys as EQUAL — distinct malformed docs
-                # with null ids would silently collapse to one
+                # coalesce a null id with a DETERMINISTIC per-row hash
+                # of (ts, raw spans): concat(null) would yield a NULL
+                # key, and dropDuplicatesWithinWatermark treats NULL
+                # keys as EQUAL — distinct malformed docs with null ids
+                # would silently collapse to one. A uuid() would also
+                # work per-row but is regenerated on stage retry /
+                # micro-batch replay, splitting one row's identity
+                # across shuffle partitions and state entries; the hash
+                # is replay-stable. (Byte-identical malformed rows —
+                # same null id, ts AND spans — share a key, which is
+                # the only deterministic reading of "distinct".)
                 F.concat(
                     F.lit("malformed:"),
-                    F.coalesce(F.col("doc_id"), F.expr("uuid()")),
+                    F.coalesce(
+                        F.col("doc_id").cast("string"),
+                        F.concat(
+                            F.lit("row"),
+                            F.xxhash64(
+                                F.col(ts_col), F.col(spans_col)
+                            ).cast("string"),
+                        ),
+                    ),
                 ),
             ).otherwise(norm_fingerprint(F.col("html"))),
         )

@@ -202,6 +202,39 @@ class TestEmbeddingLsh:
         ).count()
         assert kept == 1  # ragged and NULL pairs dropped, not NaN-kept
 
+    def test_pandas_cosine_mixed_lengths_one_batch(self, spark):
+        """Valid pairs of DIFFERENT dims in the SAME Arrow batch: the
+        per-row length check passes for each, but a single np.stack
+        over all of them would be ragged and kill the task — the fast
+        path must stack per length group and still match Catalyst
+        bit-for-bit (two len-2 pairs, one len-3 pair, one ragged, one
+        NULL, forced into one partition)."""
+        from go_readability_spark.functions.vectors import (
+            cosine_similarity,
+            cosine_similarity_pandas,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 2.0], [2.0, 1.0]),
+                (2, [1.0, 2.0, 3.0], [3.0, 2.0, 1.0]),
+                (3, [0.5, -0.5], [0.25, 0.75]),
+                (4, [1.0, 2.0], [1.0, 2.0, 3.0]),   # ragged pair
+                (5, None, [1.0, 2.0]),              # NULL vector
+            ],
+            "pid int, va array<double>, vb array<double>",
+        ).repartition(1)
+        rows = df.select(
+            "pid",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("ref"),
+            cosine_similarity_pandas(F.col("va"), F.col("vb")).alias("fast"),
+        ).collect()
+        by_id = {r["pid"]: r for r in rows}
+        for pid in (1, 2, 3):
+            assert by_id[pid]["ref"] == by_id[pid]["fast"] is not None, pid
+        assert by_id[4]["ref"] is None and by_id[4]["fast"] is None
+        assert by_id[5]["ref"] is None and by_id[5]["fast"] is None
+
 
 class TestIvfCellHostile:
     def test_null_and_ragged_vectors_land_in_cell_minus1(self, spark):
@@ -323,3 +356,44 @@ class TestIvfStored:
         now = time.time()
         os.utime(src / "part-0.parquet", (now + 5, now + 5))
         assert _stored_index_path(str(sf), "lsh", "4x64") != p1
+
+    def test_age_out_marks_then_sweeps(self, tmp_path, monkeypatch):
+        """Superseded index dirs are deleted only after a grace period
+        measured from KEY ROTATION (the .superseded stamp), never from
+        build mtime — an old-but-just-superseded layout a concurrent
+        process may still be reading survives the first pass. In-flight
+        .building.<pid> dirs are untouched while the pid is alive (even
+        past the grace period); dead-pid orphans are swept once old."""
+        import os
+        import tempfile
+        import time
+
+        from go_readability_spark.queries import _age_out_stale_indexes
+
+        monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+        old = time.time() - 7200
+        keep = tmp_path / "gr_spark_lsh_sfX_4x64_999"
+        stale = tmp_path / "gr_spark_lsh_sfX_4x64_111"  # built long ago
+        building_live = tmp_path / f"gr_spark_lsh_sfX_4x64_999.building.{os.getpid()}"
+        building_dead = tmp_path / "gr_spark_lsh_sfX_4x64_999.building.999999999"
+        for d in (keep, stale, building_live, building_dead):
+            d.mkdir()
+        for d in (stale, building_live, building_dead):
+            os.utime(d, (old, old))
+
+        _age_out_stale_indexes("gr_spark_lsh_sfX_", keep.name)
+        # pass 1: stale dir only STAMPED (grace clock starts now)
+        assert stale.exists() and (stale / ".superseded").exists()
+        assert building_live.exists()      # alive builder: never touched
+        assert not building_dead.exists()  # dead orphan, old: swept
+        assert keep.exists()
+
+        # stamp still fresh -> survives a second pass
+        _age_out_stale_indexes("gr_spark_lsh_sfX_", keep.name)
+        assert stale.exists()
+
+        # age the STAMP past the grace period -> swept
+        os.utime(stale / ".superseded", (old, old))
+        _age_out_stale_indexes("gr_spark_lsh_sfX_", keep.name)
+        assert not stale.exists()
+        assert keep.exists() and building_live.exists()
