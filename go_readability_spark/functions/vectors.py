@@ -71,7 +71,16 @@ def l2sq_sql(a: str, b: str) -> str:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / F.sqrt(dot(a, a)) / F.sqrt(dot(b, b))
+    # try_divide, not `/`: a zero-norm vector makes the divisor 0.0,
+    # which ANSI mode (Spark 4 default) turns into a query-killing
+    # DIVIDE_BY_ZERO for plain division. DuckDB yields NULL for double
+    # x/0, so NULL is also the cross-engine-parity answer (and the sane
+    # one — a zero vector is similar to nothing; downstream `cos >= t`
+    # filters drop NULL). For nonzero divisors try_divide is the same
+    # IEEE op as `/`, so values are unchanged bit-for-bit.
+    return F.try_divide(
+        F.try_divide(dot(a, b), F.sqrt(dot(a, a))), F.sqrt(dot(b, b))
+    )
 
 
 def _np_fold_dot(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
@@ -83,6 +92,21 @@ def _np_fold_dot(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
     for d in range(x.shape[1]):
         acc = acc + x[:, d] * y[:, d]
     return acc
+
+
+def _cos_rows(x: "np.ndarray", y: "np.ndarray"):
+    """Row-wise cosine + zero-norm mask, matching ``cosine_similarity``'s
+    try_divide form exactly: dot/(sqrt ‖x‖²)/(sqrt ‖y‖²) in that order
+    for nonzero norms, NULL (True in the returned mask) when either
+    norm is zero — the same answer DuckDB's x/0 → NULL gives. NaN from
+    genuinely-NaN data flows through as NaN (a NaN divisor is not 0, so
+    try_divide doesn't null it on the Catalyst side either)."""
+    na = _np_fold_dot(x, x)
+    nb = _np_fold_dot(y, y)
+    zero = (np.sqrt(na) == 0.0) | (np.sqrt(nb) == 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = _np_fold_dot(x, y) / np.sqrt(na) / np.sqrt(nb)
+    return cos, zero
 
 
 def cosine_similarity_pandas(a: Column, b: Column) -> Column:
@@ -127,22 +151,32 @@ def cosine_similarity_pandas(a: Column, b: Column) -> Column:
         # fast path is unchanged); per-row op order is identical, so
         # values stay bit-equal to the Catalyst/DuckDB fold.
         if ok.all() and (lens_a == lens_a[0]).all():
-            x = np.stack(xa).astype(np.float64)
-            y = np.stack(xb).astype(np.float64)
-            cos = _np_fold_dot(x, y) / np.sqrt(_np_fold_dot(x, x)) / np.sqrt(
-                _np_fold_dot(y, y)
+            cos, zero = _cos_rows(
+                np.stack(xa).astype(np.float64),
+                np.stack(xb).astype(np.float64),
             )
-            return pd.Series(cos)
-        out = pd.array([None] * n, dtype="Float64")
+            if not zero.any():
+                return pd.Series(cos)
+            return pd.Series(
+                pd.arrays.FloatingArray(np.where(zero, 0.0, cos), zero)
+            )
+        # Build the result as an explicit (values, null-mask) pair:
+        # Float64 setitem would coerce a computed NaN to <NA>, silently
+        # turning a kept-by-total-ordering NaN cosine into a dropped
+        # NULL whenever the batch ALSO held an invalid row — the result
+        # would depend on batch composition. FloatingArray keeps NaN
+        # (valid row, NaN math) distinct from NA (invalid/zero-norm row).
+        vals = np.zeros(n, dtype=np.float64)
+        mask = np.ones(n, dtype=bool)  # True = NULL (invalid pair)
         for length in np.unique(lens_a[ok]) if ok.any() else ():
             sel = ok & (lens_a == length)
-            x = np.stack(xa[sel]).astype(np.float64)
-            y = np.stack(xb[sel]).astype(np.float64)
-            cos = _np_fold_dot(x, y) / np.sqrt(_np_fold_dot(x, x)) / np.sqrt(
-                _np_fold_dot(y, y)
+            cos, zero = _cos_rows(
+                np.stack(xa[sel]).astype(np.float64),
+                np.stack(xb[sel]).astype(np.float64),
             )
-            out[sel] = cos
-        return pd.Series(out)
+            vals[sel] = np.where(zero, 0.0, cos)
+            mask[sel] = zero
+        return pd.Series(pd.arrays.FloatingArray(vals, mask))
 
     return _cos(a, b)
 

@@ -161,7 +161,11 @@ def train_codebook(
     def _cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
         x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        acc = np.zeros(dim, dtype=np.float64)
+        # dimension comes from the data, not the closure: every vector
+        # in a cell >= 0 group already matched the codebook dim (the
+        # assignment UDF sends other lengths to cell -1), so shape[1]
+        # is uniform here and a wrong `dim` argument can't crash the fold
+        acc = np.zeros(x.shape[1], dtype=np.float64)
         for i in range(x.shape[0]):
             acc = acc + x[i]  # sequential fold in vec_id order
         return pd.DataFrame(
@@ -206,15 +210,31 @@ def ann_topk_ivf_trained(
     improves at equal nprobe, measured by ``ann_recall_table``)."""
     from .similarity import _probe_and_rerank
 
-    cents = train_codebook(
-        embeddings, n_centroids, iters, dim, id_col, vec_col
+    # ONE driver action fetches the seed codebook AND the query vector
+    # (mirroring ann_topk_ivf, similarity.py:341 — no second scan of
+    # the source for a single row), with a diagnostic on a missing id.
+    small = (
+        embeddings.filter(
+            (F.col(id_col) < n_centroids) | (F.col(id_col) == query_id)
+        )
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()
     )
-    qvec = [
-        float(x)
-        for x in embeddings.filter(F.col(id_col) == query_id)
-        .select(vec_col)
-        .collect()[0][vec_col]
-    ]
+    seed = sorted(
+        (int(r["cid"]), [float(x) for x in r["cvec"]])
+        for r in small
+        if int(r["cid"]) < n_centroids
+    )
+    qrows = [r for r in small if int(r["cid"]) == query_id]
+    if not qrows:
+        raise ValueError(
+            f"ann_topk_ivf_trained: query id {query_id} not found in "
+            f"{id_col}"
+        )
+    qvec = [float(x) for x in qrows[0]["cvec"]]
+    cents = train_codebook(
+        embeddings, n_centroids, iters, dim, id_col, vec_col, seed=seed
+    )
     return _probe_and_rerank(
         embeddings.withColumn("cid", ivf_cell_udf(cents)(F.col(vec_col))),
         "cid", cents, qvec, query_id, k, nprobe, id_col, vec_col,
@@ -431,6 +451,18 @@ def jittered_embeddings(
     divide-then-scale order match byte-for-byte). Twins take id + offset.
     Pure Catalyst; the md5-per-element cost is the point of the exercise
     (an evaluation query), not a production ingest path."""
+    # Twin ids must not collide with original ids, or the union holds
+    # duplicate keys and every downstream recall number is silently
+    # wrong — and the DuckDB oracle uses the same offset, so the hash
+    # check would PASS on the corrupted numbers. Fail loudly instead
+    # (one tiny max() job on an eval-only path).
+    max_id = embeddings.agg(F.max(F.col(id_col))).collect()[0][0]
+    if max_id is not None and max_id >= id_offset:
+        raise ValueError(
+            f"jittered_embeddings: max({id_col})={max_id} >= "
+            f"id_offset={id_offset}; twin ids would collide — raise "
+            "id_offset above the corpus id range"
+        )
     as_double = embeddings.select(
         F.col(id_col).alias(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(

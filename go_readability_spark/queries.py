@@ -414,6 +414,17 @@ def _age_out_stale_indexes(
     now = _time.time()
     for name in entries:
         if not name.startswith(prefix) or name == keep_basename:
+            # The CURRENT key defuses any stamp it carries: a key can
+            # rotate back (mtime-preserving restores resurrect old
+            # stamps) or be another live process's current layout
+            # (different params, same kind — each process marks the
+            # other's). Clearing on every probe means an actively-used
+            # dir always re-enters the sweep with a FRESH grace window.
+            if name == keep_basename:
+                try:
+                    os.unlink(os.path.join(tmp, name, ".superseded"))
+                except OSError:
+                    pass
             continue
         full = os.path.join(tmp, name)
         try:

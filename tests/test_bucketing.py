@@ -214,6 +214,8 @@ class TestEmbeddingLsh:
             cosine_similarity_pandas,
         )
 
+        import math
+
         df = spark.createDataFrame(
             [
                 (1, [1.0, 2.0], [2.0, 1.0]),
@@ -221,6 +223,8 @@ class TestEmbeddingLsh:
                 (3, [0.5, -0.5], [0.25, 0.75]),
                 (4, [1.0, 2.0], [1.0, 2.0, 3.0]),   # ragged pair
                 (5, None, [1.0, 2.0]),              # NULL vector
+                (6, [0.0, 0.0], [1.0, 2.0]),        # zero norm -> NULL
+                (7, [float("nan"), 1.0], [1.0, 2.0]),  # NaN data -> NaN
             ],
             "pid int, va array<double>, vb array<double>",
         ).repartition(1)
@@ -234,6 +238,18 @@ class TestEmbeddingLsh:
             assert by_id[pid]["ref"] == by_id[pid]["fast"] is not None, pid
         assert by_id[4]["ref"] is None and by_id[4]["fast"] is None
         assert by_id[5]["ref"] is None and by_id[5]["fast"] is None
+        # zero-norm vector: NULL on BOTH paths (try_divide semantics ==
+        # DuckDB x/0 -> NULL; plain `/` would DIVIDE_BY_ZERO-crash the
+        # whole query under Spark 4 ANSI, and the old numpy fast path
+        # returned NaN — three different answers before the fix)
+        assert by_id[6]["ref"] is None and by_id[6]["fast"] is None
+        # genuinely-NaN data: NaN on BOTH paths even in a batch that
+        # also holds invalid rows — the slow path's Float64 setitem
+        # used to coerce NaN to NULL, making kept-vs-dropped depend on
+        # batch composition (Spark's total ordering KEEPS NaN under
+        # `cos >= t`, drops NULL)
+        assert by_id[7]["ref"] is not None and math.isnan(by_id[7]["ref"])
+        assert by_id[7]["fast"] is not None and math.isnan(by_id[7]["fast"])
 
 
 class TestIvfCellHostile:
@@ -397,3 +413,32 @@ class TestIvfStored:
         _age_out_stale_indexes("gr_spark_lsh_sfX_", keep.name)
         assert not stale.exists()
         assert keep.exists() and building_live.exists()
+
+    def test_age_out_defuses_stamp_on_current_key(self, tmp_path, monkeypatch):
+        """A dir that IS the current key clears any .superseded stamp it
+        carries (left by a key that rotated away and back, or by a
+        concurrent process whose params differ): without the clear, the
+        next rotation would delete it with ZERO grace while a reader is
+        mid-scan."""
+        import os
+        import tempfile
+        import time
+
+        from go_readability_spark.queries import _age_out_stale_indexes
+
+        monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+        old = time.time() - 7200
+        d = tmp_path / "gr_spark_lsh_sfX_4x64_111"
+        d.mkdir()
+        stamp = d / ".superseded"
+        stamp.touch()
+        os.utime(stamp, (old, old))  # an HOUR-old stamp from a past rotation
+
+        # while current: stamp removed, dir untouched
+        _age_out_stale_indexes("gr_spark_lsh_sfX_", d.name)
+        assert d.exists() and not stamp.exists()
+
+        # when it rotates away again it re-enters mark-then-sweep with a
+        # FRESH grace window (pass 1 only stamps, never deletes)
+        _age_out_stale_indexes("gr_spark_lsh_sfX_", "gr_spark_lsh_sfX_other")
+        assert d.exists() and stamp.exists()

@@ -103,6 +103,21 @@ class TestPairRecall:
         assert row["n_common"] == row["n_lsh"]  # subset property holds
         assert row["pair_recall"] >= 0.70
 
+    def test_jitter_rejects_colliding_id_offset(self, spark):
+        """Twin ids colliding with original ids would corrupt the
+        planted ground truth SILENTLY (the DuckDB oracle shares the
+        offset, so the hash check would pass on wrong numbers) — the
+        builder must refuse instead."""
+        import pytest
+
+        from go_readability_spark.operators.ann_eval import (
+            jittered_embeddings,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        with pytest.raises(ValueError, match="id_offset"):
+            jittered_embeddings(emb, id_offset=10)
+
     def test_jitter_twins_are_near_duplicates(self, spark):
         from go_readability_spark.functions.vectors import (
             cosine_similarity_pandas,

@@ -100,7 +100,14 @@ def run_config(spark, n_docs: int, mega: bool) -> dict:
     docs, layout = build_corpus(spark, n_docs, mega)
     # materialize the corpus as parquet so stage walls measure the
     # operators, not synthesis (the production scan shape)
-    path = f"/tmp/gr_dedup_scale_w{WINDOW}_{n_docs}_{int(mega)}"
+    # every corpus-shaping constant is in the cache key: a stale
+    # parquet from an earlier constant set would otherwise be reused
+    # silently and the printed layout counts (computed from the NEW
+    # constants) would describe a corpus the walls were never run on
+    path = (
+        f"/tmp/gr_dedup_scale_w{WINDOW}_t{DOC_TOKENS}_c{CHAIN_LEN}"
+        f"_k{CLUSTER_LEN}_m{MEGA_LEN}_{n_docs}_{int(mega)}"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs.write.mode("overwrite").parquet(path)
     docs = spark.read.parquet(path)
