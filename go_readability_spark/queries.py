@@ -1235,6 +1235,74 @@ from comp join sizes using (comp_id)
 """
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped end-to-end semantic dedup: the full decision
+    table (one row per corpus vector) from composing the two scale
+    operators — LSH-bucketed near-dup pairs (Σ bucket², never n²)
+    into large-star/small-star connected components (O(log n) rounds).
+
+    Output: (vec_id, cluster_id, cluster_size, keep) where cluster_id
+    is the component minimum, singletons cluster with themselves, and
+    keep marks the one representative per cluster — exactly the column
+    a curation pipeline anti-joins against. The oracle re-derives the
+    same labels with a recursive CTE over the same bucket equi-join,
+    so the whole chain (bucketing → verify → clustering → keeper
+    choice) is value-verified, not just its pieces."""
+    from .operators.dedup import dedup_components, embedding_near_dups_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups_lsh(
+        emb, EMB_NEAR_T, n_planes=EMB_LSH_PLANES, dim=EMB_DIM
+    )
+    comps = dedup_components(pairs, a_col="vec_a", b_col="vec_b")
+    # one row per CORPUS vector: unclustered vectors are their own
+    # singleton cluster (left join against the id spine; comps only
+    # holds vectors that appeared in some candidate pair)
+    spine = emb.select(F.col("vec_id"))
+    return (
+        spine.join(
+            comps.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component_id"), F.col("vec_id")).alias(
+                "cluster_id"
+            ),
+            F.coalesce(F.col("component_size"), F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+            (
+                F.coalesce(F.col("component_id"), F.col("vec_id"))
+                == F.col("vec_id")
+            ).alias("keep"),
+        )
+    )
+
+
+def _oracle_dedup_semantic() -> str:
+    # the recursive min-label CTE from _oracle_dedup_components, seeded
+    # with the LSH pair oracle, left-joined back onto the corpus spine
+    return f"""
+with recursive pairs as (
+  select vec_a a, vec_b b from ({_oracle_dedup_embedding_lsh()}) t),
+und as (select a, b from pairs union select b, a from pairs),
+reach(node, m) as (
+  select a, a from und union select b, b from und
+  union
+  select und.b, reach.m from reach join und on und.a = reach.node
+  where reach.m < und.b),
+comp as (select node, min(m) cluster_id from reach group by node),
+sizes as (select cluster_id, count(*) cluster_size from comp group by cluster_id)
+select e.vec_id::bigint vec_id,
+  coalesce(comp.cluster_id, e.vec_id)::bigint cluster_id,
+  coalesce(sizes.cluster_size, 1)::bigint cluster_size,
+  (coalesce(comp.cluster_id, e.vec_id) = e.vec_id) keep
+from embeddings e
+left join comp on comp.node = e.vec_id
+left join sizes on sizes.cluster_id = comp.cluster_id
+"""
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(
         load_table(spark, sf_dir, "embeddings"), EMB_NEAR_T, EMB_BLOCK
@@ -1601,6 +1669,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_components": q_dedup_components,
+    "dedup_semantic": q_dedup_semantic,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "text_profile": q_text_profile,
@@ -1672,6 +1741,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": _oracle_simhash(),
     "dedup_simhash_pairs": _oracle_simhash_pairs(),
     "dedup_components": _oracle_dedup_components(),
+    "dedup_semantic": _oracle_dedup_semantic(),
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "ann_topk": ORACLE_ANN_TOPK,
     "text_profile": _oracle_text_profile(),

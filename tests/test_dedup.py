@@ -377,3 +377,36 @@ def test_dedup_components_string_ids(spark):
     assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
     sizes = {r["doc_id"]: r["component_size"] for r in rows}
     assert sizes == {"a": 3, "b": 3, "c": 3, "x": 2, "y": 2}
+
+
+def test_dedup_semantic_decision_table_invariants(spark):
+    """The composed SemDeDup query (LSH pairs -> components -> keeper)
+    must produce a total decision table: one row per corpus vector,
+    exactly one keeper per cluster, the keeper is the cluster minimum,
+    cluster_size counts its members, and singletons keep themselves."""
+    from go_readability_spark.plans.cache import persist_scope
+    from go_readability_spark.queries import q_dedup_semantic
+
+    sf = "/root/testdata/sf0.001"
+    with persist_scope(spark):
+        rows = q_dedup_semantic(spark, sf).collect()
+    n_corpus = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert len(rows) == n_corpus
+    assert len({r["vec_id"] for r in rows}) == n_corpus  # total, no dups
+
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        sizes = {r["cluster_size"] for r in members}
+        assert sizes == {len(members)}, (cid, sizes, len(members))
+        keepers = [r for r in members if r["keep"]]
+        assert len(keepers) == 1, (cid, keepers)
+        assert keepers[0]["vec_id"] == cid == min(
+            r["vec_id"] for r in members
+        )
+    # the corpus engineers real near-dup structure: some multi-member
+    # cluster must exist AND some singleton must exist, or the test
+    # corpus stopped exercising the join/coalesce paths
+    sizes = sorted(len(m) for m in by_cluster.values())
+    assert sizes[0] == 1 and sizes[-1] > 1
