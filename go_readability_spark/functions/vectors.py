@@ -155,7 +155,19 @@ def cosine_similarity_pandas(a: Column, b: Column) -> Column:
                 np.stack(xa).astype(np.float64),
                 np.stack(xb).astype(np.float64),
             )
+            # a bare float64 NaN in a pandas-UDF result is converted
+            # to NULL by the Arrow return path (total-ordering parity
+            # break, and batch-dependent: the masked branch below
+            # preserves it) — any NaN must ride an explicit all-valid
+            # mask. Clean data (the production corpus) keeps the plain
+            # Series return.
             if not zero.any():
+                if np.isnan(cos).any():
+                    return pd.Series(
+                        pd.arrays.FloatingArray(
+                            cos, np.zeros(n, dtype=bool)
+                        )
+                    )
                 return pd.Series(cos)
             return pd.Series(
                 pd.arrays.FloatingArray(np.where(zero, 0.0, cos), zero)

@@ -549,10 +549,23 @@ def embedding_pair_recall(
     the exact pairs (same verify arithmetic on a pruned candidate set),
     so n_common == n_lsh; the join computes it anyway as a cross-check
     of that claim rather than assuming it."""
-    from .dedup import embedding_near_dups, embedding_near_dups_lsh
+    from .dedup import embedding_near_dups_blocked, embedding_near_dups_lsh
 
-    exact = embedding_near_dups(
-        embeddings, threshold, None, id_col, vec_col
+    # materialize the input once (house persist rule): it fans out to
+    # FIVE consumers (blocked exact a/b sides, LSH bucket pass + join,
+    # the jitter guard when the caller passes jittered_embeddings) —
+    # and a computed input like the jittered corpus re-pays 256k
+    # interpreted md5 lambdas per recompute otherwise
+    embeddings = embeddings.select(id_col, vec_col).persist()
+    embeddings.count()
+    # the blocked exact form: same values bit-for-bit as the pairwise
+    # embedding_near_dups (parity-pinned in tests/test_dedup.py), but
+    # O(n·n/block) shuffle rows instead of a nested-loop join shipping
+    # both full vectors per pair — the difference between ~17 s and
+    # ~1 s at the n=2,000/4,000 eval sizes, and the only form that
+    # could run an exact baseline at all one size up
+    exact = embedding_near_dups_blocked(
+        embeddings, threshold, id_col=id_col, vec_col=vec_col
     ).select("vec_a", "vec_b").persist()
     exact.count()
     lsh = embedding_near_dups_lsh(

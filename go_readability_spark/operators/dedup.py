@@ -348,6 +348,135 @@ def embedding_near_dups(
     )
 
 
+def embedding_near_dups_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    block_size: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``embedding_near_dups`` (exact all-pairs block, same values
+    bit-for-bit) restructured for Arrow volume: the pairwise reference
+    is a non-equi self-join, so every vector ships once PER PAIR —
+    n²·dim doubles through the shuffle (n=4,000 ⇒ ~16 GB). Here each
+    id-range block of ``block_size`` vectors ships once per PARTNER
+    BLOCK (n·(n/block) rows), and each block-pair task forms its cross
+    cosines in numpy with the identical per-pair op sequence: the dot
+    is the same sequential fold over dims (outer-product accumulation
+    — per pair that is exactly acc+x_k·y_k in k order), then
+    dot/√‖x‖²/√‖y‖² in the reference's division order, F.round and the
+    threshold filter applied Catalyst-side exactly like the reference
+    (numpy prefilters at threshold−1e-6, wider than round-half-up can
+    move a 6-decimal value, keeping NaN — total ordering keeps NaN
+    pairs, NULL/zero-norm pairs drop). Hostile-data semantics match
+    pairwise: pairs compute per matching vector length, mixed-length
+    and NULL pairs drop. Ids must be numeric (blocks are id ranges, so
+    cross-block pairs are pre-ordered). Scale: work is the inherent
+    O(n²·dim/task-parallelism) flops, but shuffle is O(n·n/block) rows
+    — the shape that lets the exact baseline run at eval sizes far
+    beyond the nested-loop form."""
+    spark = embeddings.sparkSession
+    emb = embeddings.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.floor(F.col(id_col).cast("long") / block_size).alias("g"),
+    )
+    gids = sorted(
+        int(r["g"]) for r in emb.select("g").distinct().collect()
+    )
+    pairs_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, j) for i in gids for j in gids if i <= j],
+            "ga long, gb long",
+        )
+    )
+    a_side = emb.join(pairs_df, emb["g"] == pairs_df["ga"]).select(
+        "ga", "gb", F.lit(0).alias("side"), "vid", "vec"
+    )
+    b_side = emb.join(pairs_df, emb["g"] == pairs_df["gb"]).select(
+        "ga", "gb", F.lit(1).alias("side"), "vid", "vec"
+    )
+    prefilter = threshold - 1e-6
+
+    def _block_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.vectors import _np_fold_dot
+
+        avid, bvid, acos = [], [], []
+        A = pdf[pdf["side"] == 0]
+        B = pdf[pdf["side"] == 1]
+        a_ok = A[A["vec"].notna()]
+        b_ok = B[B["vec"].notna()]
+        if len(a_ok) and len(b_ok):
+            a_len = a_ok["vec"].map(len).to_numpy()
+            b_len = b_ok["vec"].map(len).to_numpy()
+            for length in np.unique(a_len):
+                Ai = a_ok[a_len == length]
+                Bi = b_ok[b_len == length]
+                if not len(Bi):
+                    continue
+                X = np.stack(Ai["vec"].to_numpy()).astype(np.float64)
+                Y = np.stack(Bi["vec"].to_numpy()).astype(np.float64)
+                xv = Ai["vid"].to_numpy()
+                yv = Bi["vid"].to_numpy()
+                # (na, nb) dot as the SAME sequential fold over dims
+                acc = np.zeros((len(Ai), len(Bi)), dtype=np.float64)
+                for k in range(int(length)):
+                    acc = acc + X[:, k : k + 1] * Y[:, k][None, :]
+                nx = np.sqrt(_np_fold_dot(X, X))
+                ny = np.sqrt(_np_fold_dot(Y, Y))
+                zero = (nx == 0.0)[:, None] | (ny == 0.0)[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / nx[:, None] / ny[None, :]
+                keep = (
+                    (xv[:, None] < yv[None, :])
+                    & ~zero
+                    & ((cos >= prefilter) | np.isnan(cos))
+                )
+                ia, ib = np.nonzero(keep)
+                avid.append(xv[ia])
+                bvid.append(yv[ib])
+                acos.append(cos[ia, ib])
+        if not avid:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype="int64"),
+                 "vec_b": pd.Series([], dtype="int64"),
+                 "cos_raw": pd.Series([], dtype="float64")}
+            )
+        vals = np.concatenate(acos)
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(avid),
+                "vec_b": np.concatenate(bvid),
+                # explicit all-valid mask: the grouped-map Arrow
+                # conversion treats bare float64 NaN as NULL (unlike
+                # the scalar pandas_udf path), which would silently
+                # DROP NaN-cosine pairs the reference keeps
+                "cos_raw": pd.arrays.FloatingArray(
+                    vals, np.zeros(len(vals), dtype=bool)
+                ),
+            }
+        )
+
+    raw = (
+        a_side.unionByName(b_side)
+        .groupBy("ga", "gb")
+        .applyInPandas(
+            _block_pairs, "vec_a long, vec_b long, cos_raw double"
+        )
+    )
+    return (
+        raw.select(
+            "vec_a",
+            "vec_b",
+            F.round(F.col("cos_raw"), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def simhash_near_dups(
     docs: DataFrame,
     bits: int = 16,

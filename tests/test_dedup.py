@@ -410,3 +410,48 @@ def test_dedup_semantic_decision_table_invariants(spark):
     # corpus stopped exercising the join/coalesce paths
     sizes = sorted(len(m) for m in by_cluster.values())
     assert sizes[0] == 1 and sizes[-1] > 1
+
+
+def test_blocked_exact_pairs_match_pairwise_reference(spark):
+    """embedding_near_dups_blocked must reproduce the nested-loop
+    reference EXACTLY — pair set and bit-level cosines — including on
+    hostile rows: NULL vectors and mixed-length vectors (same-length
+    ragged pairs compute, cross-length pairs drop), zero-norm vectors
+    (NULL cosine, dropped), NaN elements (NaN cosine, KEPT by total
+    ordering), and ids spanning multiple id-range blocks."""
+    from go_readability_spark.operators.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_blocked,
+    )
+
+    rows = []
+    # clusters of near-identical vectors across block boundaries
+    # (block_size=4 below -> ids 0..19 span 5 blocks)
+    for i in range(16):
+        rows.append((i, [1.0 + 0.01 * i, 2.0, 3.0 - 0.01 * i]))
+    rows += [
+        (16, None),                      # NULL vector
+        (17, [5.0, 5.0]),                # len-2 ...
+        (18, [5.0, 5.00001]),            # ... pairs with 17 (same len)
+        (19, [0.0, 0.0, 0.0]),           # zero norm: NULL cos, dropped
+        (20, [float("nan"), 1.0, 1.0]),  # NaN data: kept pairs
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ref = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in embedding_near_dups(emb, 0.3).collect()
+    }
+    blk = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in embedding_near_dups_blocked(
+            emb, 0.3, block_size=4
+        ).collect()
+    }
+    assert set(ref) == set(blk)
+    for k in ref:
+        rv, bv = ref[k], blk[k]
+        assert (rv == bv) or (rv != rv and bv != bv), (k, rv, bv)
+    # sanity on the hostile semantics themselves (not just agreement)
+    assert (17, 18) in ref                     # same-length ragged pair
+    assert not any(16 in k or 19 in k for k in ref)  # NULL/zero dropped
+    assert any(20 in k for k in ref)           # NaN pairs kept
