@@ -132,7 +132,6 @@ def train_codebook(
     embeddings: DataFrame,
     n_centroids: int = 16,
     iters: int = 2,
-    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed=None,
@@ -200,7 +199,6 @@ def ann_topk_ivf_trained(
     n_centroids: int = 16,
     nprobe: int = 4,
     iters: int = 2,
-    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -208,32 +206,14 @@ def ann_topk_ivf_trained(
     instead of the seed stand-in — same assignment UDF, probe shape,
     and rerank arithmetic; only the centroids differ (and recall
     improves at equal nprobe, measured by ``ann_recall_table``)."""
-    from .similarity import _probe_and_rerank
+    from .similarity import _probe_and_rerank, seed_and_query
 
-    # ONE driver action fetches the seed codebook AND the query vector
-    # (mirroring ann_topk_ivf, similarity.py:341 — no second scan of
-    # the source for a single row), with a diagnostic on a missing id.
-    small = (
-        embeddings.filter(
-            (F.col(id_col) < n_centroids) | (F.col(id_col) == query_id)
-        )
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .collect()
+    seed, qvec = seed_and_query(
+        embeddings, n_centroids, query_id, id_col, vec_col
     )
-    seed = sorted(
-        (int(r["cid"]), [float(x) for x in r["cvec"]])
-        for r in small
-        if int(r["cid"]) < n_centroids
-    )
-    qrows = [r for r in small if int(r["cid"]) == query_id]
-    if not qrows:
-        raise ValueError(
-            f"ann_topk_ivf_trained: query id {query_id} not found in "
-            f"{id_col}"
-        )
-    qvec = [float(x) for x in qrows[0]["cvec"]]
     cents = train_codebook(
-        embeddings, n_centroids, iters, dim, id_col, vec_col, seed=seed
+        embeddings, n_centroids, iters, id_col=id_col, vec_col=vec_col,
+        seed=seed,
     )
     return _probe_and_rerank(
         embeddings.withColumn("cid", ivf_cell_udf(cents)(F.col(vec_col))),
@@ -295,7 +275,7 @@ def ann_recall_table(
     n_queries = len(qrows)
     cents_seed = seed_codebook(embeddings, n_centroids, id_col, vec_col)
     cents_tr = train_codebook(
-        embeddings, n_centroids, trained_iters, dim, id_col, vec_col,
+        embeddings, n_centroids, trained_iters, id_col, vec_col,
         seed=cents_seed,
     )
 

@@ -370,17 +370,35 @@ def embedding_near_dups_blocked(
     move a 6-decimal value, keeping NaN — total ordering keeps NaN
     pairs, NULL/zero-norm pairs drop). Hostile-data semantics match
     pairwise: pairs compute per matching vector length, mixed-length
-    and NULL pairs drop. Ids must be numeric (blocks are id ranges, so
-    cross-block pairs are pre-ordered). Scale: work is the inherent
-    O(n²·dim/task-parallelism) flops, but shuffle is O(n·n/block) rows
-    — the shape that lets the exact baseline run at eval sizes far
-    beyond the nested-loop form."""
+    and NULL pairs drop. Ids must be INTEGRAL (blocks are id ranges, so
+    cross-block pairs are pre-ordered; a float id would be silently
+    truncated by the long cast, merging/reordering distinct ids — the
+    operator refuses instead); NULL ids drop, exactly as the
+    reference's ``a.vid < b.vid`` join condition drops them. Scale:
+    work is the inherent O(n²·dim/task-parallelism) flops, but shuffle
+    is O(n·n/block) rows — the shape that lets the exact baseline run
+    at eval sizes far beyond the nested-loop form."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     spark = embeddings.sparkSession
-    emb = embeddings.select(
+    id_type = embeddings.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"embedding_near_dups_blocked: {id_col} must be an integral "
+            f"type (got {id_type.simpleString()}); non-integral ids "
+            "would be truncated by the block cast — use the pairwise "
+            "embedding_near_dups for non-integral keys"
+        )
+    # persist: THREE consumers scan this (distinct-g collect, a-side,
+    # b-side) — the module's materialize-on-fan-out rule; a computed
+    # input (e.g. the jittered eval corpus) would otherwise re-pay its
+    # whole plan per consumer
+    emb = embeddings.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("vid"),
         F.col(vec_col).alias("vec"),
         F.floor(F.col(id_col).cast("long") / block_size).alias("g"),
-    )
+    ).persist()
+    emb.count()
     gids = sorted(
         int(r["g"]) for r in emb.select("g").distinct().collect()
     )

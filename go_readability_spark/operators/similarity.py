@@ -336,9 +336,30 @@ def ann_topk_ivf(
     FIRST minimum — the codebook is sorted by cid, so ties break to the
     smaller cid exactly like the oracle's row_number order.
     """
-    # ONE driver action fetches the codebook AND the query vector (the
-    # query vector then ships as literals with the centroids — no
-    # per-invocation rescans of the source for single rows)
+    cents, qvec = seed_and_query(
+        embeddings, n_centroids, query_id, id_col, vec_col
+    )
+
+    return _probe_and_rerank(
+        embeddings.withColumn("cid", ivf_cell_udf(cents)(F.col(vec_col))),
+        "cid", cents, qvec, query_id, k, nprobe, id_col, vec_col,
+    )
+
+
+def seed_and_query(
+    embeddings: DataFrame,
+    n_centroids: int,
+    query_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """ONE driver action fetching the seed codebook AND the query
+    vector (the query then ships as literals with the centroids — no
+    per-invocation rescans of the source for single rows). Returns
+    ``(cents, qvec)``; raises a diagnostic ValueError when the query id
+    is absent. Shared by ``ann_topk_ivf`` and
+    ``ann_eval.ann_topk_ivf_trained`` so the fetch-and-tie-break logic
+    cannot drift between the two."""
     small = embeddings.filter(
         (F.col(id_col) < n_centroids) | (F.col(id_col) == query_id)
     ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")).collect()
@@ -347,16 +368,13 @@ def ann_topk_ivf(
         for r in small
         if int(r["cid"]) < n_centroids
     )
-    qvec = next(
-        [float(x) for x in r["cvec"]]
-        for r in small
-        if int(r["cid"]) == query_id
-    )
-
-    return _probe_and_rerank(
-        embeddings.withColumn("cid", ivf_cell_udf(cents)(F.col(vec_col))),
-        "cid", cents, qvec, query_id, k, nprobe, id_col, vec_col,
-    )
+    qrows = [r for r in small if int(r["cid"]) == query_id]
+    if not qrows:
+        raise ValueError(
+            f"query id {query_id} not found in {id_col}"
+        )
+    qvec = [float(x) for x in qrows[0]["cvec"]]
+    return cents, qvec
 
 
 def ivf_cell_udf(cents):

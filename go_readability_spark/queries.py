@@ -647,7 +647,6 @@ def q_ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=IVF_CENTROIDS,
         nprobe=IVF_NPROBE,
         iters=IVF_TRAIN_ITERS,
-        dim=EMB_DIM,
     )
 
 
@@ -1214,23 +1213,33 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(pairs)
 
 
-def _oracle_dedup_components() -> str:
-    # label m propagates along an edge to any node with id > m; the
-    # component minimum is smaller than every other member id, so it
-    # reaches all of them; UNION dedup bounds the recursion
-    return f"""
-with recursive pairs as (select * from ({_oracle_minhash()}) t),
-und as (select doc_a a, doc_b b from pairs
-        union select doc_b, doc_a from pairs),
+def _components_ctes(pairs_select: str) -> str:
+    """The recursive min-label component CTEs shared by
+    _oracle_dedup_components and _oracle_dedup_semantic (one
+    propagation rule, two consumers — a drifted copy would silently
+    desynchronize the two gates). ``pairs_select`` must yield edge
+    columns (a, b). Label m propagates along an edge to any node with
+    id > m; the component minimum is smaller than every other member
+    id, so it reaches all of them; UNION dedup bounds the recursion.
+    Exposes ``comp(node, comp_id)`` and ``sizes(comp_id, n_members)``
+    to the caller's final select."""
+    return f"""pairs as ({pairs_select}),
+und as (select a, b from pairs union select b, a from pairs),
 reach(node, m) as (
   select a, a from und union select b, b from und
   union
   select und.b, reach.m from reach join und on und.a = reach.node
   where reach.m < und.b),
 comp as (select node, min(m) comp_id from reach group by node),
-sizes as (select comp_id, count(*) component_size from comp group by comp_id)
+sizes as (select comp_id, count(*) n_members from comp group by comp_id)"""
+
+
+def _oracle_dedup_components() -> str:
+    seed = f"select doc_a a, doc_b b from ({_oracle_minhash()}) t"
+    return f"""
+with recursive {_components_ctes(seed)}
 select comp.node::bigint doc_id, comp.comp_id::bigint component_id,
-  sizes.component_size::bigint component_size
+  sizes.n_members::bigint component_size
 from comp join sizes using (comp_id)
 """
 
@@ -1280,26 +1289,18 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_dedup_semantic() -> str:
-    # the recursive min-label CTE from _oracle_dedup_components, seeded
-    # with the LSH pair oracle, left-joined back onto the corpus spine
+    # the shared recursive min-label CTEs, seeded with the LSH pair
+    # oracle, left-joined back onto the corpus spine
+    seed = f"select vec_a a, vec_b b from ({_oracle_dedup_embedding_lsh()}) t"
     return f"""
-with recursive pairs as (
-  select vec_a a, vec_b b from ({_oracle_dedup_embedding_lsh()}) t),
-und as (select a, b from pairs union select b, a from pairs),
-reach(node, m) as (
-  select a, a from und union select b, b from und
-  union
-  select und.b, reach.m from reach join und on und.a = reach.node
-  where reach.m < und.b),
-comp as (select node, min(m) cluster_id from reach group by node),
-sizes as (select cluster_id, count(*) cluster_size from comp group by cluster_id)
+with recursive {_components_ctes(seed)}
 select e.vec_id::bigint vec_id,
-  coalesce(comp.cluster_id, e.vec_id)::bigint cluster_id,
-  coalesce(sizes.cluster_size, 1)::bigint cluster_size,
-  (coalesce(comp.cluster_id, e.vec_id) = e.vec_id) keep
+  coalesce(comp.comp_id, e.vec_id)::bigint cluster_id,
+  coalesce(sizes.n_members, 1)::bigint cluster_size,
+  (coalesce(comp.comp_id, e.vec_id) = e.vec_id) keep
 from embeddings e
 left join comp on comp.node = e.vec_id
-left join sizes on sizes.cluster_id = comp.cluster_id
+left join sizes on sizes.comp_id = comp.comp_id
 """
 
 

@@ -455,3 +455,47 @@ def test_blocked_exact_pairs_match_pairwise_reference(spark):
     assert (17, 18) in ref                     # same-length ragged pair
     assert not any(16 in k or 19 in k for k in ref)  # NULL/zero dropped
     assert any(20 in k for k in ref)           # NaN pairs kept
+
+
+def test_blocked_null_ids_drop_like_pairwise(spark):
+    """A NULL id row drops from the blocked operator's output exactly
+    as the pairwise reference drops it (its a.vid < b.vid condition is
+    NULL) — it must not crash the driver-side block enumeration."""
+    from go_readability_spark.operators.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_blocked,
+    )
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (1, [1.01, 2.0, 2.99]),
+        (None, [1.0, 2.0, 3.0]),  # would pair with both if id were set
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ref = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dups(emb, 0.3).collect()
+    }
+    blk = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dups_blocked(emb, 0.3, block_size=4).collect()
+    }
+    assert ref == blk == {(0, 1)}
+
+
+def test_blocked_rejects_non_integral_ids(spark):
+    """Non-integral ids would be silently truncated by the block cast
+    (5.2 and 5.7 both become vid=5, merging distinct vectors); the
+    operator must refuse instead of diverging from the pairwise form."""
+    import pytest
+
+    from go_readability_spark.operators.dedup import (
+        embedding_near_dups_blocked,
+    )
+
+    emb = spark.createDataFrame(
+        [(5.2, [1.0, 2.0]), (5.7, [1.0, 2.0])],
+        "vec_id double, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="integral"):
+        embedding_near_dups_blocked(emb, 0.3, block_size=4)

@@ -198,7 +198,7 @@ class TestTrainCodebook:
             (4, [0.05, 0.0]), (5, [10.05, 10.0]),
         ]
         emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-        cents = dict(train_codebook(emb, n_centroids=4, iters=1, dim=2))
+        cents = dict(train_codebook(emb, n_centroids=4, iters=1))
         assert set(cents) == {0, 1, 2, 3}
         # cell 3 lost the tie for its own seed vector → kept verbatim
         assert cents[3] == [10.0, 10.0]
@@ -207,10 +207,30 @@ class TestTrainCodebook:
         assert cents[2] == [expected, 10.0]
         assert all(len(v) == 2 for v in cents.values())
 
+    def test_missing_query_id_raises_diagnostic(self, spark):
+        """Both IVF probe entry points share seed_and_query, so a
+        missing query id must produce the same diagnostic ValueError
+        from each (not a bare StopIteration from one of two drifted
+        copies)."""
+        import pytest
+
+        from go_readability_spark.operators.ann_eval import (
+            ann_topk_ivf_trained,
+        )
+        from go_readability_spark.operators.similarity import ann_topk_ivf
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(8)],
+            "vec_id long, embedding array<double>",
+        )
+        for fn in (ann_topk_ivf, ann_topk_ivf_trained):
+            with pytest.raises(ValueError, match="not found"):
+                fn(emb, 9999, n_centroids=4)
+
     def test_training_is_deterministic(self, spark):
         from go_readability_spark.operators.ann_eval import train_codebook
 
         emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-        a = train_codebook(emb, 16, 2, 64)
-        b = train_codebook(emb, 16, 2, 64)
+        a = train_codebook(emb, 16, 2)
+        b = train_codebook(emb, 16, 2)
         assert a == b
