@@ -32,29 +32,56 @@ __all__ = [
 
 def get_elements_by_tag_name(element: VElement, tag_name: str) -> list[VElement]:
     """Pre-order recursive tag scan; ``*`` matches all (dom_utils.go:14-48)."""
-    return get_elements_by_tag_names(element, [tag_name])
+    return get_elements_by_tag_names(element, (tag_name,))
 
 
 def get_elements_by_tag_names(
-    element: VElement, tag_names: list[str]
+    element: VElement, tag_names
 ) -> list[VElement]:
-    # iterative pre-order (recursion overhead dominated profiles; result
-    # order identical to the recursive walk)
-    tagset = frozenset(t.lower() for t in tag_names)
-    star = "*" in tagset
+    # Iterative pre-order, the hottest loop in the whole extractor (one
+    # third of per-doc wall before this shape). Text nodes ride the
+    # stack and are skipped at pop: one class check per node in the
+    # main loop plus a C-level ``children[::-1]`` copy beats filtering
+    # children through a generator per parent (measured ~14% whole-doc).
+    # Result order is identical to the recursive walk.
     result: list[VElement] = []
     stack = [element]
     pop = stack.pop
     append = result.append
+    extend = stack.extend
+    if len(tag_names) == 1:
+        tag = tag_names[0].lower()
+        if tag == "*":  # match-all: no membership test in the loop
+            while stack:
+                el = pop()
+                if el.__class__ is not VElement:
+                    continue
+                append(el)
+                cs = el.children
+                if cs:
+                    extend(cs[::-1])
+            return result
+        while stack:
+            el = pop()
+            if el.__class__ is not VElement:
+                continue
+            if el.tag_name == tag:
+                append(el)
+            cs = el.children
+            if cs:
+                extend(cs[::-1])
+        return result
+    tagset = frozenset(t.lower() for t in tag_names)
+    star = "*" in tagset
     while stack:
         el = pop()
+        if el.__class__ is not VElement:
+            continue
         if star or el.tag_name in tagset:
             append(el)
-        children = el.children
-        if children:
-            stack.extend(
-                c for c in reversed(children) if c.__class__ is VElement
-            )
+        cs = el.children
+        if cs:
+            extend(cs[::-1])
     return result
 
 
@@ -136,21 +163,29 @@ def get_inner_text(node: VNode, normalize_spaces: bool = False) -> str:
     if isinstance(node, VText):
         text = node.text_content
     else:
-        parts: list[str] = []
-        empty = True
-        for i, child in enumerate(node.children):
-            if i > 0 and not empty:
-                parts.append(" ")
-            if isinstance(child, VText):
-                parts.append(child.text_content)
-                if child.text_content:
-                    empty = False
-            else:
-                child_text = get_inner_text(child, False)
-                if child_text != "":
-                    parts.append(child_text)
-                    empty = False
-        text = "".join(parts)
+        children = node.children
+        if not children:
+            text = ""
+        elif len(children) == 1 and isinstance(children[0], VText):
+            # leaf-ish fast path (p/a/h1 with one merged text node is
+            # the most common element shape): no parts list, no join
+            text = children[0].text_content
+        else:
+            parts: list[str] = []
+            empty = True
+            for i, child in enumerate(children):
+                if i > 0 and not empty:
+                    parts.append(" ")
+                if isinstance(child, VText):
+                    parts.append(child.text_content)
+                    if child.text_content:
+                        empty = False
+                else:
+                    child_text = get_inner_text(child, False)
+                    if child_text != "":
+                        parts.append(child_text)
+                        empty = False
+            text = "".join(parts)
 
     text = text.strip()
     if normalize_spaces:

@@ -163,6 +163,13 @@ class _TreeBuilder(HTMLParser):
         self.pending_format: list[tuple[str, dict]] = []
 
     # -- helpers -------------------------------------------------------
+    def updatepos(self, i: int, j: int) -> int:
+        # line/column tracking disabled: nothing in the tree builder or
+        # its callers reads self.lineno/self.offset, and the stdlib
+        # bookkeeping (a splitlines per data chunk) showed up in per-doc
+        # profiles. Return j exactly as _markupbase.updatepos does.
+        return j
+
     def _current(self) -> VElement:
         return self.stack[-1]
 
@@ -339,6 +346,12 @@ class _TreeBuilder(HTMLParser):
             if tag == "head" and self.mode == "in_head":
                 self.stack = [self.root]
                 self.mode = "after_head"
+            return
+        stack = self.stack
+        # fast path: balanced end tag closes the current node — nothing
+        # sits above the match, so no formatting elements can be popped
+        if len(stack) > 1 and stack[-1].tag_name == tag:
+            del stack[-1]
             return
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag_name == tag:

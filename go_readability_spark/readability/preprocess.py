@@ -67,12 +67,18 @@ def _remove_ads(doc: VDocument) -> None:
 def is_likely_ad(element: VElement) -> bool:
     """16 case-insensitive class/id regexes + ad attributes
     (preprocess.go:133-155)."""
-    combined = element.class_name + " " + element.id
+    attrs = element.attributes
+    if not attrs:
+        # no attributes → no class/id to match, no role/data-* flags
+        # (every AD pattern needs at least one letter, so the combined
+        # " " string below could never match either)
+        return False
+    combined = attrs.get("class", "") + " " + attrs.get("id", "")
     if _AD_COMBINED.search(combined):
         return True
     return (
-        element.get_attribute("role") == "advertisement"
-        or element.has_attribute("data-ad")
-        or element.has_attribute("data-ad-client")
-        or element.has_attribute("data-ad-slot")
+        attrs.get("role") == "advertisement"
+        or "data-ad" in attrs
+        or "data-ad-client" in attrs
+        or "data-ad-slot" in attrs
     )

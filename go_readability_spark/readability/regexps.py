@@ -149,5 +149,11 @@ BLOCK_ELEMENTS = frozenset({
 
 
 def byte_len(s: str) -> int:
-    """Go ``len()`` on a string = UTF-8 byte length (SURVEY.md §1.2(1))."""
+    """Go ``len()`` on a string = UTF-8 byte length (SURVEY.md §1.2(1)).
+
+    ASCII fast path: one C scan instead of a full UTF-8 encode — for a
+    multi-MB document body the encode allocated a second copy of the
+    text just to count it."""
+    if s.isascii():
+        return len(s)
     return len(s.encode("utf-8", "surrogatepass"))
