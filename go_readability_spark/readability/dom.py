@@ -21,6 +21,7 @@ from .vdom import VElement, VNode, VText
 __all__ = [
     "get_elements_by_tag_name",
     "get_elements_by_tag_names",
+    "get_elements_grouped_by_tag",
     "is_probably_visible",
     "get_node_ancestors",
     "has_ancestor_tag",
@@ -83,6 +84,35 @@ def get_elements_by_tag_names(
         if cs:
             extend(cs[::-1])
     return result
+
+
+def get_elements_grouped_by_tag(
+    element: VElement, tag_names
+) -> dict[str, list[VElement]]:
+    """ONE pre-order walk grouping matches per tag.
+
+    Equivalent to calling ``get_elements_by_tag_name`` once per tag
+    (each group comes back in document order, exactly as the per-tag
+    walk returns it) while paying the subtree traversal once — the
+    scoring and structural phases walk the same body for up to nine
+    tags back to back. ``*`` is not supported here; callers pass
+    concrete tag lists."""
+    groups: dict[str, list[VElement]] = {t.lower(): [] for t in tag_names}
+    get = groups.get
+    stack = [element]
+    pop = stack.pop
+    extend = stack.extend
+    while stack:
+        el = pop()
+        if el.__class__ is not VElement:
+            continue
+        g = get(el.tag_name)
+        if g is not None:
+            g.append(el)
+        cs = el.children
+        if cs:
+            extend(cs[::-1])
+    return groups
 
 
 def is_probably_visible(node: VElement) -> bool:

@@ -18,6 +18,7 @@ from .classify import (
 )
 from .dom import (
     get_elements_by_tag_name,
+    get_elements_grouped_by_tag,
     get_inner_text,
     get_link_density,
     is_probably_visible,
@@ -294,10 +295,13 @@ def find_structural_elements(
                     if not is_inside_header:
                         footer = el
 
-    # 3. other significant nodes (core.go:225-272)
+    # 3. other significant nodes (core.go:225-272); one grouped walk,
+    # concatenated in the reference's tag order
     potential: list[VElement] = []
-    for tag in ("main", "article", "section", "aside", "nav"):
-        potential.extend(get_elements_by_tag_name(body, tag))
+    _sig_tags = ("main", "article", "section", "aside", "nav")
+    grouped = get_elements_grouped_by_tag(body, _sig_tags)
+    for tag in _sig_tags:
+        potential.extend(grouped[tag])
     add_significant_elements_by_class_or_id(body, potential)
 
     other_significant_nodes: list[VElement] = []

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from .dom import (
     get_elements_by_tag_name,
+    get_elements_grouped_by_tag,
     get_inner_text,
     get_link_density,
     get_node_ancestors,
@@ -89,17 +90,23 @@ def find_main_candidates(
 
     # 1. semantic-tag shortcut: exactly one <article>, else exactly one
     # <main>, becomes the sole candidate (core.go:363-371)
+    semantic = get_elements_grouped_by_tag(
+        doc.document_element, ("article", "main")
+    )
     for tag in ("article", "main"):
-        elements = get_elements_by_tag_name(doc.document_element, tag)
+        elements = semantic[tag]
         if len(elements) == 1:
             return [elements[0]]
 
-    # 2. scoring-based detection (core.go:374-421)
+    # 2. scoring-based detection (core.go:374-421); one body walk
+    # grouped per tag replaces nine per-tag walks — concatenation in
+    # DEFAULT_TAGS_TO_SCORE order matches the per-tag loop exactly
     body = doc.body
     candidates: list[VElement] = []
     elements_to_score: list[VElement] = []
+    grouped = get_elements_grouped_by_tag(body, DEFAULT_TAGS_TO_SCORE)
     for tag in DEFAULT_TAGS_TO_SCORE:
-        elements_to_score.extend(get_elements_by_tag_name(body, tag))
+        elements_to_score.extend(grouped[tag])
 
     for element in elements_to_score:
         inner_text = get_inner_text(element, False)
