@@ -22,6 +22,7 @@ __all__ = [
     "get_elements_by_tag_name",
     "get_elements_by_tag_names",
     "get_elements_grouped_by_tag",
+    "get_elements_in_tag_order",
     "is_probably_visible",
     "get_node_ancestors",
     "has_ancestor_tag",
@@ -37,7 +38,7 @@ def get_elements_by_tag_name(element: VElement, tag_name: str) -> list[VElement]
 
 
 def get_elements_by_tag_names(
-    element: VElement, tag_names
+    element: VElement, tag_names: "list[str] | tuple[str, ...]"
 ) -> list[VElement]:
     # Iterative pre-order, the hottest loop in the whole extractor (one
     # third of per-doc wall before this shape). Text nodes ride the
@@ -45,6 +46,10 @@ def get_elements_by_tag_names(
     # main loop plus a C-level ``children[::-1]`` copy beats filtering
     # children through a generator per parent (measured ~14% whole-doc).
     # Result order is identical to the recursive walk.
+    if not isinstance(tag_names, (list, tuple)):
+        # public API: sets/generators were accepted before the
+        # sequence-shaped fast paths below existed — keep them working
+        tag_names = tuple(tag_names)
     result: list[VElement] = []
     stack = [element]
     pop = stack.pop
@@ -113,6 +118,19 @@ def get_elements_grouped_by_tag(
         if cs:
             extend(cs[::-1])
     return groups
+
+
+def get_elements_in_tag_order(element: VElement, tag_names) -> list[VElement]:
+    """Matches of every tag in one walk, concatenated in ``tag_names``
+    order — exactly what ``[*walk(element, t) for t in tag_names]``
+    produced with one traversal per tag. Keeps the ordering contract of
+    the grouped walk in one place for its two consumers (candidate
+    scoring, structural detection)."""
+    grouped = get_elements_grouped_by_tag(element, tag_names)
+    result: list[VElement] = []
+    for tag in tag_names:
+        result.extend(grouped[tag.lower()])
+    return result
 
 
 def is_probably_visible(node: VElement) -> bool:

@@ -18,7 +18,7 @@ from .classify import (
 )
 from .dom import (
     get_elements_by_tag_name,
-    get_elements_grouped_by_tag,
+    get_elements_in_tag_order,
     get_inner_text,
     get_link_density,
     is_probably_visible,
@@ -297,11 +297,9 @@ def find_structural_elements(
 
     # 3. other significant nodes (core.go:225-272); one grouped walk,
     # concatenated in the reference's tag order
-    potential: list[VElement] = []
-    _sig_tags = ("main", "article", "section", "aside", "nav")
-    grouped = get_elements_grouped_by_tag(body, _sig_tags)
-    for tag in _sig_tags:
-        potential.extend(grouped[tag])
+    potential = get_elements_in_tag_order(
+        body, ("main", "article", "section", "aside", "nav")
+    )
     add_significant_elements_by_class_or_id(body, potential)
 
     other_significant_nodes: list[VElement] = []

@@ -18,8 +18,8 @@ sort with strict ``<`` swap is stable, equivalent to Python's stable
 from __future__ import annotations
 
 from .dom import (
-    get_elements_by_tag_name,
     get_elements_grouped_by_tag,
+    get_elements_in_tag_order,
     get_inner_text,
     get_link_density,
     get_node_ancestors,
@@ -103,10 +103,9 @@ def find_main_candidates(
     # DEFAULT_TAGS_TO_SCORE order matches the per-tag loop exactly
     body = doc.body
     candidates: list[VElement] = []
-    elements_to_score: list[VElement] = []
-    grouped = get_elements_grouped_by_tag(body, DEFAULT_TAGS_TO_SCORE)
-    for tag in DEFAULT_TAGS_TO_SCORE:
-        elements_to_score.extend(grouped[tag])
+    elements_to_score = get_elements_in_tag_order(
+        body, DEFAULT_TAGS_TO_SCORE
+    )
 
     for element in elements_to_score:
         inner_text = get_inner_text(element, False)

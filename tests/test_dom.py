@@ -34,6 +34,36 @@ def test_get_elements_by_tag_name_and_wildcard():
     assert len(get_elements_by_tag_name(root, "P")) == 2  # case-insensitive
 
 
+def test_tag_walk_accepts_any_iterable_and_orders_groups():
+    """The public walker accepts sets/generators (pre-fast-path API),
+    and the grouped/tag-order forms reproduce the per-tag walks
+    exactly — same per-tag document order, concatenated in tag order."""
+    from go_readability_spark.readability.dom import (
+        get_elements_by_tag_names,
+        get_elements_grouped_by_tag,
+        get_elements_in_tag_order,
+    )
+
+    root = el("div", children=[
+        el("p", children=[el("span"), el("a")]),
+        el("section", children=[el("p")]),
+        el("a"),
+    ])
+    # set and generator inputs still work
+    assert len(get_elements_by_tag_names(root, {"p"})) == 2
+    assert len(get_elements_by_tag_names(root, (t for t in ("p", "a")))) == 4
+    # tag-order concat == one walk per tag, concatenated
+    tags = ("a", "p", "SECTION")
+    expected = []
+    for t in tags:
+        expected.extend(get_elements_by_tag_names(root, [t]))
+    got = get_elements_in_tag_order(root, tags)
+    assert [id(e) for e in got] == [id(e) for e in expected]
+    grouped = get_elements_grouped_by_tag(root, tags)
+    assert [e.tag_name for e in grouped["a"]] == ["a", "a"]
+    assert len(grouped["section"]) == 1
+
+
 def test_is_probably_visible():
     assert is_probably_visible(el("div"))
     assert not is_probably_visible(el("div", {"style": "display: none;"}))
