@@ -161,3 +161,53 @@ class TestCodecProperties:
         assert out_refs == [r for r in in_refs if r in out_refs]
         # order fields are a dense 0..n-1 enumeration
         assert [s["order"] for s in out] == list(range(len(out)))
+
+
+class TestWalkerEquivalence:
+    """The specialized tag walker (single/star/multi paths, text nodes
+    on the stack) and the grouped walk must agree with a naive
+    recursive reference on arbitrary trees."""
+
+    tags = st.sampled_from(["div", "p", "a", "span", "section", "li"])
+
+    @st.composite
+    def trees(draw, depth=3):  # noqa: N805 — hypothesis composite style
+        from go_readability_spark.readability import VElement, VText
+
+        el = VElement(draw(TestWalkerEquivalence.tags))
+        for _ in range(draw(st.integers(0, 3))):
+            if depth > 0 and draw(st.booleans()):
+                el.append_child(
+                    draw(TestWalkerEquivalence.trees(depth=depth - 1))
+                )
+            else:
+                el.append_child(VText(draw(st.text(max_size=5))))
+        return el
+
+    @given(trees(), st.lists(tags, min_size=1, max_size=4))
+    @settings(max_examples=60, deadline=None)
+    def test_matches_naive_recursive_walk(self, root, tag_list):
+        from go_readability_spark.readability import VElement
+        from go_readability_spark.readability.dom import (
+            get_elements_by_tag_names,
+            get_elements_in_tag_order,
+        )
+
+        def naive(el, tagset):
+            out = [el] if ("*" in tagset or el.tag_name in tagset) else []
+            for c in el.children:
+                if isinstance(c, VElement):
+                    out.extend(naive(c, tagset))
+            return out
+
+        for tags in (tag_list, ["*"], tag_list + ["*"]):
+            got = get_elements_by_tag_names(root, tags)
+            assert [id(e) for e in got] == [
+                id(e) for e in naive(root, set(tags))
+            ]
+        # tag-order concat == naive per-tag concat
+        want = []
+        for t in tag_list:
+            want.extend(naive(root, {t}))
+        got = get_elements_in_tag_order(root, tag_list)
+        assert [id(e) for e in got] == [id(e) for e in want]
