@@ -139,13 +139,22 @@ def extract_text_content(element: VElement | None) -> str:
 
 
 def count_nodes(element: VElement | None) -> int:
-    """Element + text node count including self (format.go:296-315)."""
+    """Element + text node count including self (format.go:296-315).
+
+    Iterative (same stack pattern as the dom walkers): the recursive
+    form was one Python frame per element on multi-thousand-node giant
+    documents, and counting needs no ordering at all."""
     if element is None:
         return 0
-    count = 1
-    for child in element.children:
-        if isinstance(child, VElement):
-            count += count_nodes(child)
-        else:
-            count += 1
+    count = 0
+    stack = [element]
+    pop = stack.pop
+    extend = stack.extend
+    while stack:
+        el = pop()
+        count += 1
+        if el.__class__ is VElement:
+            cs = el.children
+            if cs:
+                extend(cs)
     return count
