@@ -144,6 +144,32 @@ def test_fixture_001_golden_metadata():
     assert "<section>" in to_html(result.root)
 
 
+def test_fixture_001_content_matches_mozilla_golden():
+    """Stronger than the reference's own E2E check: the reference only
+    asserts ``<section>`` containment + title equality against the
+    vendored Mozilla readability golden (site_extraction_test.go:125-131,
+    'may not produce identical HTML'). Our extraction reproduces the
+    golden's text content WORD-FOR-WORD — whitespace-normalized equality
+    of the full extracted text (3,816 chars), not containment. This pins
+    the whole chain (parser → preprocess → scoring → accept gate →
+    pruning) to the upstream behavior at content level."""
+    import re
+
+    from go_readability_spark.readability.fmt import extract_text_content
+    from go_readability_spark.readability.parser import parse_html
+
+    html = FIXTURE_001.read_text(encoding="utf-8")
+    result = extract(html, ReadabilityOptions())
+    golden_doc = parse_html(
+        FIXTURE_001.with_name("expected.html").read_text(encoding="utf-8")
+    )
+    norm = lambda s: re.sub(r"\s+", " ", s).strip()  # noqa: E731
+    ours = norm(extract_text_content(result.root))
+    golden = norm(extract_text_content(golden_doc.body))
+    assert len(golden) > 3000  # the golden actually has content
+    assert ours == golden
+
+
 def test_fixture_001_classification_path():
     """With forced_page_type='' the classifier also says article."""
     html = FIXTURE_001.read_text(encoding="utf-8")
