@@ -170,6 +170,39 @@ def test_fixture_001_content_matches_mozilla_golden():
     assert ours == golden
 
 
+def test_fixture_001_span_sequence_matches_mozilla_golden():
+    """The north-rule invariant — span-sequence equality on
+    (kind, text, media_ref, order) — instantiated literally against the
+    reference's vendored Mozilla golden: our extracted article and the
+    golden fragment emit the SAME 23-span sequence (text spans compared
+    whitespace-normalized; the golden is pretty-printed)."""
+    import re
+
+    from go_readability_spark.readability.parser import parse_html
+    from go_readability_spark.spans import element_to_spans
+
+    html = FIXTURE_001.read_text(encoding="utf-8")
+    result = extract(html, ReadabilityOptions())
+    golden_doc = parse_html(
+        FIXTURE_001.with_name("expected.html").read_text(encoding="utf-8")
+    )
+    norm = lambda s: re.sub(r"\s+", " ", s).strip()  # noqa: E731
+
+    def seq(spans):
+        out = []
+        for s in spans:
+            text = norm(s["text"]) if s["kind"] == "text" else s["text"]
+            if s["kind"] == "text" and text == "":
+                continue  # pretty-printing whitespace spans
+            out.append((s["kind"], text, s["media_ref"]))
+        return out
+
+    ours = seq(element_to_spans(result.root))
+    golden = seq(element_to_spans(golden_doc.body))
+    assert len(ours) == len(golden) > 20
+    assert ours == golden  # same kinds, same texts, same refs, same order
+
+
 def test_fixture_001_classification_path():
     """With forced_page_type='' the classifier also says article."""
     html = FIXTURE_001.read_text(encoding="utf-8")
