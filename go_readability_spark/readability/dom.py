@@ -125,7 +125,15 @@ def get_elements_in_tag_order(element: VElement, tag_names) -> list[VElement]:
     order — exactly what ``[*walk(element, t) for t in tag_names]``
     produced with one traversal per tag. Keeps the ordering contract of
     the grouped walk in one place for its two consumers (candidate
-    scoring, structural detection)."""
+    scoring, structural detection). ``*`` is not supported (it has no
+    per-tag group); use ``get_elements_by_tag_names`` for match-all."""
+    if not isinstance(tag_names, (list, tuple)):
+        tag_names = tuple(tag_names)  # generators are consumed twice below
+    if any(t == "*" for t in tag_names):
+        raise ValueError(
+            "get_elements_in_tag_order does not support '*'; use "
+            "get_elements_by_tag_names for a match-all walk"
+        )
     grouped = get_elements_grouped_by_tag(element, tag_names)
     result: list[VElement] = []
     for tag in tag_names:

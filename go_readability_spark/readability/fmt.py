@@ -153,7 +153,9 @@ def count_nodes(element: VElement | None) -> int:
     while stack:
         el = pop()
         count += 1
-        if el.__class__ is VElement:
+        # isinstance, not exact-class: the recursive form descended into
+        # VElement subclasses too, and count_nodes is a facade export
+        if isinstance(el, VElement):
             cs = el.children
             if cs:
                 extend(cs)

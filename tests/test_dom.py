@@ -62,6 +62,18 @@ def test_tag_walk_accepts_any_iterable_and_orders_groups():
     grouped = get_elements_grouped_by_tag(root, tags)
     assert [e.tag_name for e in grouped["a"]] == ["a", "a"]
     assert len(grouped["section"]) == 1
+    # one-shot iterables work for the tag-order helper too (it iterates
+    # tag_names twice internally)
+    gen = get_elements_in_tag_order(root, (t for t in ("p", "a")))
+    # expected = a-matches (2) + p-matches (2) + section-match (1)
+    assert [id(e) for e in gen] == [
+        id(e) for e in expected[2:4] + expected[0:2]
+    ]
+    # '*' has no per-tag group: refused loudly, not an empty list
+    import pytest
+
+    with pytest.raises(ValueError, match=r"\*"):
+        get_elements_in_tag_order(root, ("p", "*"))
 
 
 def test_is_probably_visible():
