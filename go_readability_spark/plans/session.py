@@ -44,6 +44,15 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(arrow_max_records),
         )
+        # Columnar PARQUET READ batches need the same document-sized
+        # bound as the Arrow transfer batches: at the default 4096 rows
+        # per batch, a row group dense with multi-MiB span documents
+        # asks the vectorized reader for >100 MB of contiguous column
+        # buffer and the scan fails outright ("Cannot reserve additional
+        # contiguous bytes") — first hit at the 600k-doc corpus (3,000
+        # giants; SCALE.md §10). 256 rows × ~8 MiB worst-case giants
+        # stays ~2 GB absolute worst, real mixes a few MiB.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

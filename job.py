@@ -55,6 +55,10 @@ def main(argv=None) -> int:
     spark = (
         SparkSession.builder.appName("gr-spark-extract")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # bound the vectorized parquet read batch the same way — the
+        # 4096-row default over-reserves on giant-document tables
+        # (plans/session.py has the full story)
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
