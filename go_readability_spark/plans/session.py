@@ -50,8 +50,11 @@ def get_spark(
         # asks the vectorized reader for >100 MB of contiguous column
         # buffer and the scan fails outright ("Cannot reserve additional
         # contiguous bytes") — first hit at the 600k-doc corpus (3,000
-        # giants; SCALE.md §10). 256 rows × ~8 MiB worst-case giants
-        # stays ~2 GB absolute worst, real mixes a few MiB.
+        # giants; SCALE.md §10). Measured trade (interleaved A/B):
+        # 4096 fails that scan, 1024 OOMs the executor heap on it, 256
+        # completes it and costs ~10-15% on the two most scan-heavy
+        # narrow-row registry queries — robustness wins; a session doing
+        # only narrow-row relational work can raise it back via conf.
         .config("spark.sql.parquet.columnarReaderBatchSize", "256")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
