@@ -1,8 +1,16 @@
 """Bench harness: extraction throughput + per-query timings.
 
-Prints ONE JSON line:
+Prints a detail JSON line (per-query timings, quality block, raw walls)
+followed by a compact headline JSON as the FINAL line:
   {"metric": "...", "value": <extraction wall sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "extraction": {...}}
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+The split exists because the driver captures only the tail of stdout:
+round 4's single line grew past that window (per-query timings for 40
+queries + the nested quality block) and the machine-readable headline
+was lost (BENCH_r04.json parsed: null). The final line is kept compact
+(2-decimal timings, no nested blocks) so it always fits; the full
+detail rides the earlier line and a sidecar BENCH_DETAIL.json.
 
 Env:
   SPARK_GRAFT_SF_DIR      input tables (default /root/testdata/sf0.1)
@@ -58,7 +66,7 @@ def main() -> None:
         extract_documents,
         metrics_rollup,
     )
-    from go_readability_spark.plans.session import get_spark
+    from go_readability_spark.plans.session import get_spark, giant_doc_scan
     from go_readability_spark.queries import queries
     from go_readability_spark.sources.tables import corpus_df
 
@@ -85,19 +93,24 @@ def main() -> None:
     # slot (measured: 2-3x the steady-state wall). A tiny warmup doesn't
     # cover it — empty partitions never launch workers. The steady-state
     # number is the one that projects to a long-running cluster job.
-    extract_documents(corpus, num_partitions=cpus * 2).count()
+    # The bench corpus contains giant documents (1 per 200); pin the
+    # small columnar read batch around these scans only (the measured
+    # ladder and the planning-time caveat live on giant_doc_scan) so the
+    # narrow-row registry queries below keep the fast 4096 default.
+    with giant_doc_scan(spark):
+        extract_documents(corpus, num_partitions=cpus * 2).count()
 
-    # --- headline: extraction throughput over the interleaved corpus ---
-    # Repeated, min taken: this sandbox shows bursty external CPU
-    # interference (identical runs vary 4-20x); the minimum is the
-    # standard robust estimator of true cost under noise.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    walls = []
-    for _ in range(max(repeats, 1)):
-        t0 = time.time()
-        ext = extract_documents(corpus, num_partitions=cpus * 2)
-        roll = metrics_rollup(ext).collect()
-        walls.append(time.time() - t0)
+        # --- headline: extraction throughput over the interleaved corpus
+        # Repeated, min taken: this sandbox shows bursty external CPU
+        # interference (identical runs vary 4-20x); the minimum is the
+        # standard robust estimator of true cost under noise.
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+        walls = []
+        for _ in range(max(repeats, 1)):
+            t0 = time.time()
+            ext = extract_documents(corpus, num_partitions=cpus * 2)
+            roll = metrics_rollup(ext).collect()
+            walls.append(time.time() - t0)
     extract_sec = min(walls)
     n_docs = sum(r["n_docs"] for r in roll)
     n_errors = sum(r["n_errors"] for r in roll)
@@ -164,7 +177,7 @@ def main() -> None:
                     break
             timings[name] = best
 
-    result = {
+    detail = {
         "metric": "extraction_wall_sec",
         "value": round(extract_sec, 3),
         "unit": "sec",
@@ -186,7 +199,36 @@ def main() -> None:
             "cpus": cpus,
         },
     }
-    print(json.dumps(result))
+    # Detail first (full fidelity, may be long), sidecar for safety,
+    # compact headline LAST so the driver's stdout tail always parses.
+    print(json.dumps(detail))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    headline = {
+        "metric": "extraction_wall_sec",
+        "value": round(extract_sec, 3),
+        "unit": "sec",
+        "sf": sf,
+        "docs_per_sec": round(n_docs / extract_sec, 1),
+        "mb_per_sec": round(total_bytes / 1e6 / extract_sec, 2),
+        "n_errors": n_errors,
+        "cpus_used": cpus,
+        "quality_ref": "BENCH_DETAIL.json",
+        "queries": {k: (round(v, 2) if v > 0 else v)
+                    for k, v in timings.items()},
+    }
+    line = json.dumps(headline)
+    if len(line) > 1900:  # never outgrow the driver's ~2000-char tail again
+        headline.pop("queries")
+        headline["queries_ref"] = "BENCH_DETAIL.json"
+        line = json.dumps(headline)
+    print(line)
     spark.stop()
 
 

@@ -8,11 +8,12 @@ shuffle partitions matched to core count at test scale.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "giant_doc_scan", "scoped_sql_conf"]
 
 
 def get_spark(
@@ -44,18 +45,6 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(arrow_max_records),
         )
-        # Columnar PARQUET READ batches need the same document-sized
-        # bound as the Arrow transfer batches: at the default 4096 rows
-        # per batch, a row group dense with multi-MiB span documents
-        # asks the vectorized reader for >100 MB of contiguous column
-        # buffer and the scan fails outright ("Cannot reserve additional
-        # contiguous bytes") — first hit at the 600k-doc corpus (3,000
-        # giants; SCALE.md §10). Measured trade (interleaved A/B):
-        # 4096 fails that scan, 1024 OOMs the executor heap on it, 256
-        # completes it and costs ~10-15% on the two most scan-heavy
-        # narrow-row registry queries — robustness wins; a session doing
-        # only narrow-row relational work can raise it back via conf.
-        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -66,3 +55,54 @@ def get_spark(
         )
     )
     return builder.getOrCreate()
+
+
+@contextlib.contextmanager
+def scoped_sql_conf(spark: SparkSession, confs: dict):
+    """Pin runtime SQL confs for the duration of the block, restoring the
+    prior values (or unsetting) on exit.
+
+    The vectorized-reader batch size (and most scan knobs) are read at
+    *physical planning* time, i.e. when an action runs — NOT when
+    ``spark.read`` builds the lazy DataFrame. Every action whose scan
+    should see the pinned value must therefore execute INSIDE the block;
+    a DataFrame returned out of the block plans under the session
+    default.
+    """
+    prior: dict[str, str | None] = {}
+    for key in confs:
+        try:
+            prior[key] = spark.conf.get(key)
+        except Exception:  # unset conf → restore by unsetting
+            prior[key] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, str(v))
+        yield spark
+    finally:
+        for key, old in prior.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+
+def giant_doc_scan(spark: SparkSession, batch_rows: int = 256):
+    """Scope for parquet scans over giant-document span tables.
+
+    At the default 4,096 rows per columnar read batch, a row group dense
+    with multi-MiB span documents asks the vectorized reader for >100 MB
+    of contiguous column buffer and the scan fails outright ("Cannot
+    reserve additional contiguous bytes") — first hit at the 600k-doc /
+    16 GB corpus (3,000 giants; SCALE.md §10). Measured ladder on that
+    scan: 4096 fails, 1024 OOMs the executor heap, 256 completes. The
+    small batch costs ~10-15% on scan-heavy narrow-row relational
+    queries, so it is scoped here rather than set session-wide
+    (round-4 VERDICT "what's wrong" #2): wrap the giant-doc *actions*
+    (see scoped_sql_conf's planning-time caveat) and let narrow tables
+    keep the default. job.py — the production extraction entry, whose
+    whole workload is giant-doc scans — sets 256 session-wide instead.
+    """
+    return scoped_sql_conf(
+        spark, {"spark.sql.parquet.columnarReaderBatchSize": str(batch_rows)}
+    )

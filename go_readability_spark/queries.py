@@ -440,6 +440,19 @@ def _age_out_stale_indexes(
                 with open(stamp, "w"):
                     pass
             elif now - os.path.getmtime(stamp) > grace_sec:
+                # Active-reader guard: every load touches .inuse
+                # (_build_index_once), so a CONCURRENT process whose
+                # current layout this is — different params, hence
+                # "superseded" from this process's viewpoint — keeps
+                # its directory alive by reading it, not only by
+                # happening to re-probe _stored_index_path within the
+                # window. The sweep keys off reads, per round-4 ADVICE.
+                inuse = os.path.join(full, ".inuse")
+                try:
+                    if now - os.path.getmtime(inuse) <= grace_sec:
+                        continue
+                except OSError:
+                    pass  # no .inuse ever written -> stamp age decides
                 shutil.rmtree(full, ignore_errors=True)
         except OSError:
             continue
@@ -461,6 +474,14 @@ def _build_index_once(path: str, build) -> str:
             os.rename(tmp, path)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        # .inuse = active-reader marker for _age_out_stale_indexes:
+        # every load (cache hit or fresh build) refreshes it, so other
+        # processes' sweeps spare this layout while it is actually read
+        with open(os.path.join(path, ".inuse"), "w"):
+            pass
+    except OSError:
+        pass
     return path
 
 
@@ -568,9 +589,18 @@ en as (select vec_id, embedding, {nrm} nrm from embeddings)
 
 
 def _cos_pair(a: str, b: str, anrm: str, bnrm: str) -> str:
+    # nullif(norm, 0): Spark's side uses try_divide, which yields NULL
+    # for a zero-norm vector. DuckDB 1.0 gives the same NULL for double
+    # x/0, but 1.1+ defaults ieee_floating_point_ops=true (x/0 → inf/
+    # nan), so the parity must not lean on the engine default — nullif
+    # pins NULL-on-zero-norm in the SQL itself, version-independently,
+    # and is the identical IEEE division for every nonzero norm.
     from .functions.vectors import dot_sql
 
-    return f"round({dot_sql(a, b)} / {anrm} / {bnrm}, 6)"
+    return (
+        f"round({dot_sql(a, b)} / nullif({anrm}, 0.0) "
+        f"/ nullif({bnrm}, 0.0), 6)"
+    )
 
 
 def _oracle_ann_topk_batch() -> str:

@@ -77,6 +77,16 @@ def main():
     spark = get_spark(cores=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    try:
+        # DuckDB >= 1.1 defaults ieee_floating_point_ops=true (double
+        # x/0 -> inf/nan, not NULL). The oracle SQL no longer leans on
+        # the old default (zero-norm cosine pins NULL via nullif,
+        # queries._cos_pair), but pin the 1.0 semantics anyway so any
+        # future oracle formula is version-stable. DuckDB 1.0 doesn't
+        # know the setting — ignore the error there.
+        con.sql("set ieee_floating_point_ops=false")
+    except Exception:
+        pass
     for t in TABLES:
         con.sql(
             f"create view {t} as select * from "

@@ -69,12 +69,12 @@ def main() -> None:
         r = run_bench(cpus, n_docs)
         results[cpus] = r
         print(
-            f"# local[{cpus}]: {r['extraction']['docs_per_sec']} docs/s, "
-            f"{r['extraction']['mb_per_sec']} MB/s, wall {r['value']}s",
+            f"# local[{cpus}]: {r['docs_per_sec']} docs/s, "
+            f"{r['mb_per_sec']} MB/s, wall {r['value']}s",
             file=sys.stderr,
         )
-    t_lo = results[lo]["extraction"]["docs_per_sec"]
-    t_hi = results[hi]["extraction"]["docs_per_sec"]
+    t_lo = results[lo]["docs_per_sec"]
+    t_hi = results[hi]["docs_per_sec"]
     eff = (t_hi / t_lo) / (hi / lo)
     summary = {
         "n_docs": n_docs,
@@ -82,8 +82,8 @@ def main() -> None:
         f"local{hi}_docs_per_sec": t_hi,
         f"local{lo}_wall_sec": results[lo]["value"],
         f"local{hi}_wall_sec": results[hi]["value"],
-        f"local{lo}_mb_per_sec": results[lo]["extraction"]["mb_per_sec"],
-        f"local{hi}_mb_per_sec": results[hi]["extraction"]["mb_per_sec"],
+        f"local{lo}_mb_per_sec": results[lo]["mb_per_sec"],
+        f"local{hi}_mb_per_sec": results[hi]["mb_per_sec"],
         f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
     }
     print(json.dumps(summary))
