@@ -123,6 +123,7 @@ def main() -> None:
     # rows are THE rows)
     quality_queries = {
         "ann_recall",
+        "ann_recall_clustered",
         "embedding_pair_recall",
         "embedding_pair_recall_planted",
     }
@@ -149,7 +150,7 @@ def main() -> None:
                     with persist_scope(spark):
                         if name in quality_queries:
                             rows = fn(spark, sf_dir).collect()
-                            if name == "ann_recall":
+                            if name.startswith("ann_recall"):
                                 quality[name] = {
                                     r["variant"]: {
                                         "recall_at_k": round(

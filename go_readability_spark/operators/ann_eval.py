@@ -570,3 +570,68 @@ def embedding_pair_recall(
             ).alias("pair_recall"),
         )
     )
+
+
+def clustered_embeddings(
+    spark,
+    n: int = 2048,
+    k_clusters: int = 16,
+    dim: int = 64,
+    spread: float = 0.3,
+) -> DataFrame:
+    """A deterministic mixture-of-clusters corpus: ``n`` vectors in
+    ``k_clusters`` well-separated groups (cluster = vec_id %
+    k_clusters; center = per-(cluster, dim) md5-uniform in [-1, 1];
+    point = center + md5-uniform(-spread, spread) noise).
+
+    The isotropic driver corpus makes recall ≈ scan-fraction the
+    honest ceiling (BENCH.md); this population has real neighborhood
+    structure, so an index can DEMONSTRATE value (recall ≫ scan
+    fraction). Pure Catalyst, same conv/substr/md5 plan-time-hash
+    trick as ``jittered_embeddings`` — ``clustered_sql`` reproduces
+    the identical doubles in DuckDB. Seed-codebook bonus: vec_ids
+    0..k_clusters-1 land one per cluster, so the existing
+    vec_id < n_centroids seeding starts from a perfect codebook."""
+    center = (
+        f"(cast(conv(substring(md5(concat('ctr:', "
+        f"cast(vec_id % {k_clusters} as string), ':', "
+        f"cast(i as string))), 1, 8), 16, 10) as bigint) "
+        f"% 2001 - 1000) / 1000.0"
+    )
+    noise = (
+        f"(cast(conv(substring(md5(concat('pt:', "
+        f"cast(vec_id as string), ':', "
+        f"cast(i as string))), 1, 8), 16, 10) as bigint) "
+        f"% 2001 - 1000) / 1000.0 * {spread!r}"
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {dim}), i -> {center} + {noise})"
+        ).alias("embedding"),
+    )
+
+
+def clustered_sql(
+    n: int = 2048,
+    k_clusters: int = 16,
+    dim: int = 64,
+    spread: float = 0.3,
+) -> str:
+    """DuckDB CTE body producing the identical clustered corpus as
+    ``clustered_embeddings`` (same md5 seeds, same arithmetic order)."""
+    center = (
+        f"(cast(concat('0x', substr(md5('ctr:' || "
+        f"(vec_id % {k_clusters})::varchar || ':' || i::varchar), 1, 8)) "
+        f"as bigint) % 2001 - 1000) / 1000.0"
+    )
+    noise = (
+        f"(cast(concat('0x', substr(md5('pt:' || "
+        f"vec_id::varchar || ':' || i::varchar), 1, 8)) "
+        f"as bigint) % 2001 - 1000) / 1000.0 * {spread!r}"
+    )
+    return f"""
+select vec_id,
+  list_transform(range(1, {dim + 1}), i -> {center} + {noise}) embedding
+from (select unnest(range({n}))::bigint vec_id)
+"""

@@ -561,6 +561,14 @@ IVF_TRAIN_ITERS = 2
 IVF_NPROBES = (1, 2, 4, 8)
 PLANT_EPS = 0.02
 PLANT_OFFSET = 100000
+# clustered-recall corpus (mixture of 16 well-separated clusters,
+# generated in-engine — see ann_eval.clustered_embeddings): the corpus
+# where an index can demonstrate VALUE (recall >> scan fraction),
+# which the near-isotropic driver embeddings cannot show
+CLUSTER_N = 2048
+CLUSTER_K = 16
+CLUSTER_SPREAD = 0.3
+ANN_RECALL_CLUSTERED_QIDS = tuple(range(3, CLUSTER_N, 32))  # 64 queries
 PLANT_T = 0.9
 
 
@@ -575,7 +583,7 @@ def q_ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _norm_ctes() -> str:
+def _norm_ctes(src: str = "embeddings") -> str:
     """Shared oracle CTEs: the corpus with precomputed L2 norms (the
     sqrt of the same self-dot fold Spark computes per pair — same
     VALUE, reused for speed) and the rounded pairwise cosine follows
@@ -584,7 +592,7 @@ def _norm_ctes() -> str:
 
     nrm = f"sqrt({dot_sql('embedding', 'embedding')})"
     return f"""
-en as (select vec_id, embedding, {nrm} nrm from embeddings)
+en as (select vec_id, embedding, {nrm} nrm from {src})
 """
 
 
@@ -619,7 +627,9 @@ where rank <= {ANN_BATCH_K}
 """
 
 
-def _kmeans_ctes(n_centroids: int, iters: int, dim: int) -> tuple:
+def _kmeans_ctes(
+    n_centroids: int, iters: int, dim: int, src: str = "embeddings"
+) -> tuple:
     """DuckDB CTE chain replicating ``train_codebook`` bit-for-bit
     (see ann_eval.train_codebook: assignment = argmin of the l2sq left
     fold with ties to the smaller cid; update = per-dimension
@@ -631,7 +641,7 @@ def _kmeans_ctes(n_centroids: int, iters: int, dim: int) -> tuple:
 
     parts = [
         f"cents0 as (select vec_id cid, embedding::double[] cvec "
-        f"from embeddings where vec_id < {n_centroids})"
+        f"from {src} where vec_id < {n_centroids})"
     ]
     for i in range(iters):
         d = l2sq_sql("e.embedding", "c.cvec")
@@ -640,7 +650,7 @@ def _kmeans_ctes(n_centroids: int, iters: int, dim: int) -> tuple:
   select vec_id, embedding, cid from (
     select e.vec_id, e.embedding, c.cid,
       row_number() over (partition by e.vec_id order by {d}, c.cid) rn
-    from embeddings e cross join cents{i} c
+    from {src} e cross join cents{i} c
     where len(e.embedding) = {dim}) t
   where rn = 1)"""
         )
@@ -729,20 +739,50 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_ann_recall() -> str:
+def q_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_recall over the deterministic CLUSTERED corpus (16
+    well-separated clusters, generated in-engine — sf_dir unused by
+    design: the population is the experiment's controlled variable).
+    On this corpus the indexes demonstrate value: IVF recall@10 ~1.0
+    at ~1/16 scan, vs recall ≈ scan-fraction on the isotropic driver
+    embeddings (BENCH.md recall tables; floors in tests/test_recall)."""
+    from .operators.ann_eval import ann_recall_table, clustered_embeddings
+
+    return ann_recall_table(
+        clustered_embeddings(
+            spark, CLUSTER_N, CLUSTER_K, EMB_DIM, CLUSTER_SPREAD
+        ),
+        ANN_RECALL_CLUSTERED_QIDS,
+        k=ANN_RECALL_K,
+        n_planes=ANN_LSH_PLANES,
+        dim=EMB_DIM,
+        n_centroids=IVF_CENTROIDS,
+        nprobes=IVF_NPROBES,
+        trained_iters=IVF_TRAIN_ITERS,
+    )
+
+
+def _oracle_ann_recall(
+    corpus_cte: str | None = None, qid_list=None
+) -> str:
+    """ann_recall oracle; ``corpus_cte`` (a SELECT producing (vec_id,
+    embedding)) swaps the evaluation corpus — used by the clustered
+    variant, whose corpus is generated in-engine rather than read."""
     from .functions.vectors import l2sq_sql
     from .operators.similarity import lsh_bucket_sql
 
     k = ANN_RECALL_K
-    nq = len(ANN_RECALL_QIDS)
-    qids = ", ".join(str(q) for q in ANN_RECALL_QIDS)
+    src = "embeddings" if corpus_cte is None else "emb0"
+    qid_list = ANN_RECALL_QIDS if qid_list is None else qid_list
+    nq = len(qid_list)
+    qids = ", ".join(str(q) for q in qid_list)
     bucket = lsh_bucket_sql("embedding", ANN_LSH_PLANES, EMB_DIM)
     cos_cq = _cos_pair("c.embedding", "p.qv", "c.nrm", "p.qnrm")
     cos_eq = _cos_pair("c.embedding", "q.qv", "c.nrm", "q.qnrm")
     d_qc = l2sq_sql("q.qv", "c.cvec")
     d_ec = l2sq_sql("e.embedding", "c.cvec")
     km_ctes, cents_tr, assigned_seed = _kmeans_ctes(
-        IVF_CENTROIDS, IVF_TRAIN_ITERS, EMB_DIM
+        IVF_CENTROIDS, IVF_TRAIN_ITERS, EMB_DIM, src=src
     )
     multi_probes = "\n  union all\n".join(
         f"  select qid, qv, qnrm, xor(qbucket, {1 << p}) pbucket, 1 prank "
@@ -783,8 +823,9 @@ def _oracle_ann_recall() -> str:
     km = ",\n".join(km_ctes)
     variant_ctes = ",\n".join(variants)
     summary_union = "\nunion all\n".join(summaries)
+    head = "" if corpus_cte is None else f"emb0 as ({corpus_cte.strip()}),\n"
     return f"""
-with {_norm_ctes().strip()},
+with {head}{_norm_ctes(src).strip()},
 q as (select vec_id qid, embedding qv, nrm qnrm from en
       where vec_id in ({qids})),
 exact as (
@@ -809,7 +850,7 @@ assigned_tr as (
   select vec_id, embedding, cid from (
     select e.vec_id, e.embedding, c.cid,
       row_number() over (partition by e.vec_id order by {d_ec}, c.cid) rn
-    from embeddings e cross join {cents_tr} c
+    from {src} e cross join {cents_tr} c
     where len(e.embedding) = {EMB_DIM}) t
   where rn = 1),
 qr_seed as (
@@ -837,10 +878,21 @@ select variant, {nq}::bigint n_queries, {k}::bigint k,
   sum_candidates::bigint sum_candidates, sum_hits::bigint sum_hits,
   sum_hits / {float(nq * k)!r} recall_at_k,
   sum_candidates
-    / (({nq} * ((select count(*) from embeddings) - 1))::double)
+    / (({nq} * ((select count(*) from {src}) - 1))::double)
     candidate_frac
 from summary
 """
+
+
+def _oracle_ann_recall_clustered() -> str:
+    from .operators.ann_eval import clustered_sql
+
+    return _oracle_ann_recall(
+        corpus_cte=clustered_sql(
+            CLUSTER_N, CLUSTER_K, EMB_DIM, CLUSTER_SPREAD
+        ),
+        qid_list=ANN_RECALL_CLUSTERED_QIDS,
+    )
 
 
 def q_embedding_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1685,6 +1737,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_batch": q_ann_topk_batch,
     "ann_topk_ivf_trained": q_ann_topk_ivf_trained,
     "ann_recall": q_ann_recall,
+    "ann_recall_clustered": q_ann_recall_clustered,
     "embedding_pair_recall": q_embedding_pair_recall,
     "embedding_pair_recall_planted": q_embedding_pair_recall_planted,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1763,6 +1816,7 @@ ORACLES: dict[str, str] = {
     "ann_topk_batch": _oracle_ann_topk_batch(),
     "ann_topk_ivf_trained": _oracle_ann_topk_ivf_trained(),
     "ann_recall": _oracle_ann_recall(),
+    "ann_recall_clustered": _oracle_ann_recall_clustered(),
     "embedding_pair_recall": _oracle_embedding_pair_recall(),
     "embedding_pair_recall_planted": _oracle_embedding_pair_recall_planted(),
     "dedup_embedding_lsh": _oracle_dedup_embedding_lsh(),

@@ -22,10 +22,22 @@ algorithm is sensitive to:
   start tags is dropped (HTML5 tokenizer rule honoured by x/net/html)
 - ``<x-media .../>`` — OUR span-codec placeholder, not an HTML tag — is
   treated as void so interleaved media refs never swallow siblings
+- the WHATWG **adoption-agency algorithm** for misnested formatting tags
+  (list of active formatting elements with markers, Noah's-Ark clause,
+  reconstruction, the full outer/inner loop) — ``<b>1<p>2</b>3</p>``
+  produces the spec's example tree
+- **table foster parenting**: non-table content opened in table context
+  (start tags, reconstructed formatting, character data) is inserted
+  before the nearest open table per the spec's "appropriate place"
+- spec end-tag scoping: "any other end tag" stops at special elements,
+  block end tags are scope-bounded (a stray ``</div>`` inside a table
+  cell no longer destroys the table), ``</p>`` with no open p inserts
+  an empty one, ``</br>`` acts as ``<br>``, ``</hN>`` closes any open
+  heading
 
 Not implemented (golden corpora avoid them; fixture-001 does not use them):
-table foster-parenting, the adoption-agency algorithm for misnested
-formatting tags, template contents, SVG/MathML foreign content.
+template contents, SVG/MathML foreign content, tbody/tr synthesis for
+cells opened directly under <table> (cells nest where they appear).
 """
 
 from __future__ import annotations
@@ -134,12 +146,79 @@ SIBLING_SCOPE_EXTRA: dict[str, frozenset[str]] = {
 
 PRE_LIKE = frozenset({"pre", "textarea", "listing"})
 
-# HTML5 "active formatting elements" — candidates for reconstruction when
-# a mismatched end tag pops them (simplified adoption agency)
+# HTML5 "active formatting elements" (WHATWG 13.2.4.3) — the exact spec
+# set; their end tags run the adoption-agency algorithm
 FORMATTING_ELEMENTS = frozenset({
     "a", "b", "big", "code", "em", "font", "i", "nobr", "s", "small",
     "strike", "strong", "tt", "u",
 })
+
+# WHATWG "special" category (HTML namespace; foreign content omitted —
+# no SVG/MathML support). Used for the adoption agency's furthest-block
+# search and the "any other end tag" stop rule.
+SPECIAL_ELEMENTS = frozenset({
+    "address", "applet", "area", "article", "aside", "base", "basefont",
+    "bgsound", "blockquote", "body", "br", "button", "caption", "center",
+    "col", "colgroup", "dd", "details", "dir", "div", "dl", "dt", "embed",
+    "fieldset", "figcaption", "figure", "footer", "form", "frame",
+    "frameset", "h1", "h2", "h3", "h4", "h5", "h6", "head", "header",
+    "hgroup", "hr", "html", "iframe", "img", "input", "keygen", "li",
+    "link", "listing", "main", "marquee", "menu", "meta", "nav", "noembed",
+    "noframes", "noscript", "object", "ol", "p", "param", "plaintext",
+    "pre", "script", "search", "section", "select", "source", "style",
+    "summary", "table", "tbody", "td", "template", "textarea", "tfoot",
+    "th", "thead", "title", "tr", "track", "ul", "wbr", "xmp",
+})
+
+# WHATWG default scope ("has an element in scope" boundary set)
+DEFAULT_SCOPE = frozenset({
+    "applet", "caption", "html", "table", "td", "th", "marquee", "object",
+    "template",
+})
+_LIST_ITEM_SCOPE = DEFAULT_SCOPE | frozenset({"ol", "ul"})
+_BUTTON_SCOPE = DEFAULT_SCOPE | frozenset({"button"})
+_TABLE_SCOPE = frozenset({"html", "table", "template"})
+_HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+_TABLE_END_TAGS = frozenset({
+    "table", "td", "th", "tr", "tbody", "thead", "tfoot", "caption",
+    "col", "colgroup",
+})
+
+# Elements whose insertion pushes a MARKER onto the active-formatting
+# list; popping any of them clears the list back to (and including) the
+# last marker — formatting never leaks out of a cell/caption/template.
+MARKER_TAGS = frozenset({
+    "td", "th", "caption", "applet", "object", "marquee", "template",
+})
+
+# Start tags that do NOT reconstruct active formatting elements before
+# insertion ("in body" spec: block/structure tags close <p> and insert
+# directly; everything else — formatting, phrasing, voids like <br>,
+# unknown elements — reconstructs first).
+_NO_RECONSTRUCT = P_CLOSERS | frozenset({
+    "tr", "td", "th", "thead", "tbody", "tfoot", "caption", "col",
+    "colgroup", "frame", "frameset", "head", "body", "html",
+})
+
+# "Clear the stack back to a table/table-body/row context" stop sets
+# (WHATWG "in table"/"in table body"/"in row" modes): when one of these
+# structure tags arrives while a table is open, anything dangling above
+# the context — e.g. a formatting element that was foster-parented
+# before the table — is popped first, so table structure never nests
+# inside fostered content. Applied only when a table is in table scope;
+# with no open table the token is IGNORED (spec "in body" rule for
+# stray caption/col/tbody/td/tr/... tokens).
+_TABLE_STRUCTURE_CLEAR: dict[str, frozenset[str]] = {
+    "tr": frozenset({"tbody", "thead", "tfoot", "table", "html"}),
+    "td": frozenset({"tr", "tbody", "thead", "tfoot", "table", "html"}),
+    "th": frozenset({"tr", "tbody", "thead", "tfoot", "table", "html"}),
+    "tbody": frozenset({"table", "html"}),
+    "thead": frozenset({"table", "html"}),
+    "tfoot": frozenset({"table", "html"}),
+    "caption": frozenset({"table", "html"}),
+    "col": frozenset({"table", "html"}),
+    "colgroup": frozenset({"table", "html"}),
+}
 
 # Simplified foster parenting: while one of these is the current node,
 # content other than table structure is inserted BEFORE the open table
@@ -158,9 +237,13 @@ class _TreeBuilder(HTMLParser):
         self.body: VElement | None = None
         self.stack: list[VElement] = [self.root]
         self.mode = "before_head"
-        # formatting elements popped by a mismatched end tag, awaiting lazy
-        # reconstruction (tag, attrs) — see _materialize_pending
-        self.pending_format: list[tuple[str, dict]] = []
+        # WHATWG "list of active formatting elements": VElement entries
+        # interleaved with None markers (pushed when a cell/caption/
+        # applet-family element opens). Drives reconstruction and the
+        # adoption-agency algorithm. Entries compare by IDENTITY
+        # (VElement defines no __eq__), which is what every `in`/`is`
+        # below relies on.
+        self.afe: list[VElement | None] = []
 
     # -- helpers -------------------------------------------------------
     def updatepos(self, i: int, j: int) -> int:
@@ -188,16 +271,252 @@ class _TreeBuilder(HTMLParser):
             self.stack = [self.root, self.body]
             self.mode = "in_body"
 
-    def _insert(self, tag: str, attrs, push: bool) -> VElement:
+    @staticmethod
+    def _make_element(tag: str, attrs) -> VElement:
         el = VElement(tag)
         for name, value in attrs:
             # duplicate attributes: first one wins (HTML5 tokenizer rule)
             if name not in el.attributes:
                 el.attributes[name] = value if value is not None else ""
-        self._current().append_child(el)
-        if push:
-            self.stack.append(el)
         return el
+
+    @staticmethod
+    def _clone(el: VElement) -> VElement:
+        c = VElement(el.tag_name)
+        c.attributes.update(el.attributes)
+        return c
+
+    @staticmethod
+    def _detach(node) -> None:
+        p = node.parent
+        if p is not None:
+            for k in range(len(p.children) - 1, -1, -1):
+                if p.children[k] is node:
+                    del p.children[k]
+                    break
+        node.parent = None
+
+    def _append_node(self, node: VElement, target: VElement | None = None) -> None:
+        """Insert at the spec's "appropriate place for inserting a node":
+        inside ``target`` (default: current node), except that non-table
+        content landing in table context is FOSTER-PARENTED before the
+        nearest open table."""
+        tgt = self.stack[-1] if target is None else target
+        if (
+            tgt.tag_name in _TABLE_CONTEXT
+            and node.tag_name not in _TABLE_ALLOWED
+            and node.tag_name != "table"
+        ):
+            point = self._foster_point()
+            if point is not None:
+                parent, idx = point
+                node.parent = parent
+                parent.children.insert(idx, node)
+                return
+        tgt.append_child(node)
+
+    def _pop_upto(self, i: int) -> None:
+        """``del stack[i:]`` with marker bookkeeping: popping a cell/
+        caption/applet-family element clears the active-formatting list
+        back to its marker (formatting never leaks out of those)."""
+        stack = self.stack
+        for el in stack[i:]:
+            if el.tag_name in MARKER_TAGS:
+                afe = self.afe
+                while afe:
+                    if afe.pop() is None:
+                        break
+        del stack[i:]
+
+    def _has_in_scope(self, tag: str) -> bool:
+        for i in range(len(self.stack) - 1, 0, -1):
+            t = self.stack[i].tag_name
+            if t == tag:
+                return True
+            if t in DEFAULT_SCOPE:
+                return False
+        return False
+
+    # -- active formatting elements (WHATWG 13.2.4.3) -------------------
+    def _reconstruct_afe(self) -> None:
+        """Reconstruct the active formatting elements: clone every entry
+        after the last marker that is no longer on the open stack, in
+        list order, making the last clone the current node."""
+        afe = self.afe
+        if not afe:
+            return
+        entry = afe[-1]
+        if entry is None or entry in self.stack:  # identity-based `in`
+            return
+        i = len(afe) - 1
+        while i > 0:
+            prev = afe[i - 1]
+            if prev is None or prev in self.stack:
+                break
+            i -= 1
+        for j in range(i, len(afe)):
+            clone = self._clone(afe[j])
+            self._append_node(clone)
+            self.stack.append(clone)
+            afe[j] = clone
+
+    def _push_formatting(self, el: VElement) -> None:
+        """Append to the active-formatting list with the Noah's Ark
+        clause: at most three entries with identical tag + attributes
+        since the last marker (the earliest is evicted)."""
+        afe = self.afe
+        count = 0
+        for j in range(len(afe) - 1, -1, -1):
+            e = afe[j]
+            if e is None:
+                break
+            if e.tag_name == el.tag_name and e.attributes == el.attributes:
+                count += 1
+                if count == 3:
+                    del afe[j]
+                    break
+        afe.append(el)
+
+    def _adoption_agency(self, subject: str) -> None:
+        """The WHATWG adoption-agency algorithm (13.2.6.4.7 "in body",
+        any end tag whose tag name is a formatting element). Direct
+        transcription of the spec's outer/inner loops onto this
+        builder's (stack, afe) — the reference gets this via
+        x/net/html's parser (ref internal/parser/parser.go:17-18)."""
+        stack, afe = self.stack, self.afe
+        if len(stack) <= 1:
+            return
+        cur = stack[-1]
+        if cur.tag_name == subject and not any(cur is e for e in afe):
+            stack.pop()
+            return
+        for _ in range(8):  # outer loop
+            # formatting element: last matching entry after the last marker
+            fmt = None
+            fmt_afe = -1
+            for j in range(len(afe) - 1, -1, -1):
+                e = afe[j]
+                if e is None:
+                    break
+                if e.tag_name == subject:
+                    fmt, fmt_afe = e, j
+                    break
+            if fmt is None:
+                self._any_other_end_tag(subject)
+                return
+            fmt_stack = -1
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i] is fmt:
+                    fmt_stack = i
+                    break
+            if fmt_stack < 0:  # in list but not on stack: drop entry
+                del afe[fmt_afe]
+                return
+            in_scope = False
+            for i in range(len(stack) - 1, 0, -1):
+                el = stack[i]
+                if el is fmt:
+                    in_scope = True
+                    break
+                if el.tag_name in DEFAULT_SCOPE:
+                    break
+            if not in_scope:
+                return  # parse error; token ignored
+            # furthest block: first special element deeper than fmt
+            fb = None
+            fb_stack = -1
+            for i in range(fmt_stack + 1, len(stack)):
+                if stack[i].tag_name in SPECIAL_ELEMENTS:
+                    fb, fb_stack = stack[i], i
+                    break
+            if fb is None:
+                # nothing special above fmt (so no marker tags either:
+                # all MARKER_TAGS are special) — plain pop through fmt
+                del stack[fmt_stack:]
+                del afe[fmt_afe]
+                return
+            common = stack[fmt_stack - 1]
+            bookmark = fmt_afe
+            node_idx = fb_stack
+            last_node = fb
+            inner = 0
+            while True:  # inner loop
+                inner += 1
+                node_idx -= 1
+                node = stack[node_idx]
+                if node is fmt:
+                    break
+                node_afe = -1
+                for j in range(len(afe) - 1, -1, -1):
+                    if afe[j] is node:
+                        node_afe = j
+                        break
+                if inner > 3 and node_afe != -1:
+                    del afe[node_afe]
+                    if node_afe < bookmark:
+                        bookmark -= 1
+                    node_afe = -1
+                if node_afe == -1:
+                    # between fmt and fb there are no special elements,
+                    # hence no markers — single-entry removal is safe
+                    del stack[node_idx]
+                    continue
+                clone = self._clone(node)
+                afe[node_afe] = clone
+                stack[node_idx] = clone
+                node = clone
+                if last_node is fb:
+                    bookmark = node_afe + 1
+                self._detach(last_node)
+                node.append_child(last_node)
+                last_node = node
+            self._detach(last_node)
+            self._append_node(last_node, target=common)
+            clone = self._clone(fmt)
+            for ch in fb.children:
+                ch.parent = clone
+            clone.children = fb.children
+            fb.children = []
+            fb.append_child(clone)
+            fa = -1
+            for j in range(len(afe) - 1, -1, -1):
+                if afe[j] is fmt:
+                    fa = j
+                    break
+            if fa != -1:
+                del afe[fa]
+                if fa < bookmark:
+                    bookmark -= 1
+            bookmark = max(0, min(bookmark, len(afe)))
+            afe.insert(bookmark, clone)
+            fi = -1
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i] is fmt:
+                    fi = i
+                    break
+            if fi != -1:
+                del stack[fi]
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i] is fb:
+                    stack.insert(i + 1, clone)
+                    break
+            # outer loop re-runs: with no special element left above the
+            # clone it takes the no-furthest-block branch next pass,
+            # which is what puts following content into the block (the
+            # spec's own <b>1<p>2</b>3 example ends with "3" inside <p>)
+
+    def _any_other_end_tag(self, tag: str) -> None:
+        """Spec "any other end tag": pop to the matching element, but a
+        special element encountered first means the token is ignored
+        (an unmatched ``</span>`` no longer reaches across blocks)."""
+        stack = self.stack
+        for i in range(len(stack) - 1, 0, -1):
+            t = stack[i].tag_name
+            if t == tag:
+                self._pop_upto(i)
+                return
+            if t in SPECIAL_ELEMENTS:
+                return
 
     def _implicit_close(self, tag: str) -> None:
         """Pop elements that the HTML5 algorithm would close before ``tag``."""
@@ -205,7 +524,7 @@ class _TreeBuilder(HTMLParser):
             for i in range(len(self.stack) - 1, 0, -1):
                 t = self.stack[i].tag_name
                 if t == "p":
-                    del self.stack[i:]
+                    self._pop_upto(i)
                     break
                 if t in SCOPE_BOUNDARIES:
                     break
@@ -231,7 +550,7 @@ class _TreeBuilder(HTMLParser):
                     break
             for g in range(len(groups)):
                 if g in matches:
-                    del self.stack[matches[g]:]
+                    self._pop_upto(matches[g])
                     break
 
     # -- tokenizer callbacks -------------------------------------------
@@ -273,42 +592,68 @@ class _TreeBuilder(HTMLParser):
             if tag not in HEAD_ONLY:
                 self._ensure_body()
 
-        if self.pending_format:
-            if tag in P_CLOSERS or self._current().tag_name in _TABLE_CONTEXT:
-                # conservative containment: reconstruction stays local to
-                # the inline run; block boundaries and table context
-                # cancel it (the spec carries formatting further, but
-                # materializing into <tr>/<table> corrupts the tree)
-                self.pending_format.clear()
-            else:
-                self._materialize_pending()
+        if tag in FORMATTING_ELEMENTS:
+            if tag == "a":
+                # spec <a> rule: a second <a> while one is still active
+                # force-closes the first via the adoption agency
+                afe = self.afe
+                for j in range(len(afe) - 1, -1, -1):
+                    e = afe[j]
+                    if e is None:
+                        break
+                    if e.tag_name == "a":
+                        self._adoption_agency("a")
+                        for k in range(len(afe) - 1, -1, -1):
+                            if afe[k] is e:
+                                del afe[k]
+                                break
+                        stack = self.stack
+                        for k in range(len(stack) - 1, 0, -1):
+                            if stack[k] is e:
+                                del stack[k]
+                                break
+                        break
+            self._reconstruct_afe()
+            if tag == "nobr" and self._has_in_scope("nobr"):
+                self._adoption_agency("nobr")
+                self._reconstruct_afe()
+            el = self._make_element(tag, attrs)
+            self._append_node(el)
+            self.stack.append(el)
+            self._push_formatting(el)
+            return
 
-        # implicit closes run BEFORE the foster check so that a tag which
-        # closes a fostered element (e.g. the second <p> of
-        # <table><p>one<p>two) re-enters table context and fosters too
+        # implicit closes run BEFORE reconstruction and the foster-aware
+        # insert so that a tag which closes a fostered element (e.g. the
+        # second <p> of <table><p>one<p>two) re-enters table context and
+        # fosters too
         self._implicit_close(tag)
 
-        # foster parenting: non-table content opened in table context goes
-        # before the table (HTML5 "in table" insertion mode, simplified)
-        if (
-            self._current().tag_name in _TABLE_CONTEXT
-            and tag not in _TABLE_ALLOWED
-            and tag != "table"
-        ):
-            point = self._foster_point()
-            if point is not None:
-                parent, idx = point
-                el = VElement(tag)
-                for name, value in attrs:
-                    if name not in el.attributes:
-                        el.attributes[name] = value if value is not None else ""
-                el.parent = parent
-                parent.children.insert(idx, el)
-                if tag not in VOID_ELEMENTS:
-                    self.stack.append(el)
-                return
+        clear = _TABLE_STRUCTURE_CLEAR.get(tag)
+        if clear is not None:
+            stack = self.stack
+            table_open = False
+            for i in range(len(stack) - 1, 0, -1):
+                t = stack[i].tag_name
+                if t == "table":
+                    table_open = True
+                    break
+                if t == "html":
+                    break
+            if not table_open:
+                return  # spec "in body": stray table-structure tag ignored
+            while len(stack) > 1 and stack[-1].tag_name not in clear:
+                self._pop_upto(len(stack) - 1)
 
-        self._insert(tag, attrs, push=tag not in VOID_ELEMENTS)
+        if self.afe and tag not in _NO_RECONSTRUCT:
+            self._reconstruct_afe()
+
+        el = self._make_element(tag, attrs)
+        self._append_node(el)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+        if tag in MARKER_TAGS:
+            self.afe.append(None)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         # "<div/>" on a non-void HTML element: x/net/html ignores the
@@ -329,52 +674,52 @@ class _TreeBuilder(HTMLParser):
                 return parent, len(parent.children)
         return None
 
-    def _materialize_pending(self) -> None:
-        """Reconstruct formatting elements popped by a mismatched end tag
-        (lazy — only when content actually follows, so no empty elements
-        are synthesized; the common observable effect of the HTML5
-        adoption-agency algorithm: ``<b>x<i>y</b>z`` italicizes z)."""
-        for tag, attrs in self.pending_format:
-            el = VElement(tag)
-            el.attributes.update(attrs)
-            self._current().append_child(el)
-            self.stack.append(el)
-        self.pending_format.clear()
-
     def handle_endtag(self, tag: str) -> None:
         if tag in ("html", "body", "head"):
             if tag == "head" and self.mode == "in_head":
                 self.stack = [self.root]
                 self.mode = "after_head"
             return
-        stack = self.stack
-        # fast path: balanced end tag closes the current node — nothing
-        # sits above the match, so no formatting elements can be popped
-        if len(stack) > 1 and stack[-1].tag_name == tag:
-            del stack[-1]
+        if tag == "br":
+            # spec: </br> acts as <br> (x/net/html does the same)
+            self.handle_starttag("br", [])
             return
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag_name == tag:
-                # formatting elements above the match are implicitly
-                # popped — queue them for reconstruction, EXCEPT across
-                # cell/caption/table closes: those are formatting-scope
-                # markers in HTML5, formatting never leaks out of a cell
-                if tag not in ("td", "th", "caption", "table"):
-                    popped = self.stack[i + 1 :]
-                    self.pending_format.extend(
-                        (el.tag_name, dict(el.attributes))
-                        for el in popped
-                        if el.tag_name in FORMATTING_ELEMENTS
-                    )
-                del self.stack[i:]
+        stack = self.stack
+        if tag in FORMATTING_ELEMENTS:
+            self._adoption_agency(tag)
+            return
+        # fast path: balanced end tag closes the current node (marker
+        # bookkeeping still applies — this may be a cell/caption)
+        if len(stack) > 1 and stack[-1].tag_name == tag:
+            self._pop_upto(len(stack) - 1)
+            return
+        # scope-bounded search (per-tag boundary set, WHATWG scopes):
+        # a block end tag must not reach across a table/cell boundary
+        if tag in _HEADINGS:
+            match, boundary = _HEADINGS, DEFAULT_SCOPE
+        elif tag in _TABLE_END_TAGS:
+            match, boundary = frozenset({tag}), _TABLE_SCOPE
+        elif tag == "p":
+            match, boundary = frozenset({"p"}), _BUTTON_SCOPE
+        elif tag in ("li", "dd", "dt"):
+            match, boundary = frozenset({tag}), _LIST_ITEM_SCOPE
+        elif tag in SPECIAL_ELEMENTS:
+            match, boundary = frozenset({tag}), DEFAULT_SCOPE
+        else:
+            self._any_other_end_tag(tag)
+            return
+        for i in range(len(stack) - 1, 0, -1):
+            t = stack[i].tag_name
+            if t in match:
+                self._pop_upto(i)
                 return
-        # end tag for a pending (not-yet-reconstructed) formatting
-        # element cancels it
-        for j in range(len(self.pending_format) - 1, -1, -1):
-            if self.pending_format[j][0] == tag:
-                del self.pending_format[j]
-                return
-        # unmatched end tag: ignored
+            if t in boundary:
+                break
+        if tag == "p":
+            # spec: </p> with no p in button scope inserts an empty <p>
+            self._ensure_body()
+            self._append_node(VElement("p"))
+        # otherwise: unmatched end tag ignored
 
     def handle_data(self, data: str) -> None:
         if not data:
@@ -391,11 +736,13 @@ class _TreeBuilder(HTMLParser):
                 return
             self._ensure_body()
 
-        if self.pending_format and data.strip():
-            if self._current().tag_name in _TABLE_CONTEXT:
-                self.pending_format.clear()  # never reconstruct into <tr>
-            else:
-                self._materialize_pending()
+        # character tokens reconstruct active formatting (whitespace-only
+        # runs inside table context don't — the spec's "in table text"
+        # inserts those into the table element without reconstruction)
+        if self.afe and (
+            data.strip() or self._current().tag_name not in _TABLE_CONTEXT
+        ):
+            self._reconstruct_afe()
 
         # foster parenting for character data in table context
         if self._current().tag_name in _TABLE_CONTEXT and data.strip():

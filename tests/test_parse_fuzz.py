@@ -22,7 +22,7 @@ from tools.parse_fuzz import classify_fixpoint_divergence, gen_doc, span_sequenc
 N_DOCS = 400
 SEED = 1234
 MAX_FIXPOINT_VIOLATION_RATE = 0.04
-KNOWN_CLASSES = {"li-reclose", "cell-reclose", "text-reorder"}
+KNOWN_CLASSES = {"li-reclose", "cell-reclose", "text-reorder", "attr-retokenize"}
 
 
 def test_fuzz_campaign_invariants():
@@ -75,17 +75,22 @@ def test_foster_parenting_fixpoint_catalogue():
             "<li></li><li></li><table></table>",
             "li-reclose",
         ),
+        # the round-4 stray-cell divergences are GONE in round 5: a
+        # stray <td> with no open table is ignored (spec "in body"),
+        # fostered content is popped by "clear the stack back to a
+        # table context" before the next cell inserts — both are now
+        # serialize-stable
         (
             "<td><table><u><td>",
-            "<td><u><td></td></u><table></table></td>",
-            "<td><u></u></td><td></td><table></table>",
-            "cell-reclose",
+            "<u></u><table><td></td></table>",
+            None,
+            None,
         ),
         (
             "<th><table><aside><td>",
-            "<th><aside><td></td></aside><table></table></th>",
-            "<th><aside></aside></th><td></td><table></table>",
-            "cell-reclose",
+            "<aside></aside><table><td></td></table>",
+            None,
+            None,
         ),
         (
             "<table><tr>x<td>a",

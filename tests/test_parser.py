@@ -207,8 +207,9 @@ def test_whitespace_preserved_in_body_text():
 
 
 class TestAdoptionAgency:
-    """Simplified HTML5 adoption agency: formatting elements popped by a
-    mismatched end tag are lazily reconstructed for following content."""
+    """Inline-run reconstruction behaviors (round-2 era cases, still
+    valid under the full WHATWG algorithm — see TestAdoptionAgencySpec
+    for the spec's worked examples)."""
 
     def _body(self, html):
         from go_readability_spark.readability.parser import (
@@ -236,9 +237,12 @@ class TestAdoptionAgency:
             "<body><b>x<i>y</i></b>done</body>"
         )
 
-    def test_block_boundary_cancels(self):
+    def test_block_boundary_carries_formatting(self):
+        # full adoption agency: the unclosed <i> is reconstructed inside
+        # the following paragraph (WHATWG reconstruction; what x/net/html
+        # and every browser produce)
         assert self._body("<b>x<i>y</b><p>z</p>") == (
-            "<body><b>x<i>y</i></b><p>z</p></body>"
+            "<body><b>x<i>y</i></b><p><i>z</i></p></body>"
         )
 
     def test_em_strong(self):
@@ -350,3 +354,110 @@ class TestOptionsNotMutated:
         extract("<p>x</p>", opts)
         assert opts.forced_page_type == ""
         assert opts.char_threshold == 500
+
+
+class TestAdoptionAgencySpec:
+    """The FULL WHATWG adoption-agency algorithm + foster parenting
+    (round 5 — replaces the round-2 lazy-reconstruction approximation).
+    Expected trees are the spec's own worked examples (13.2.10.1-2) and
+    the behavior of spec-complete parsers (the reference's
+    golang.org/x/net/html, ref internal/parser/parser.go:17-18)."""
+
+    def _body(self, html):
+        doc = parse_html(html)
+        return "".join(serialize_to_html(c) for c in doc.body.children)
+
+    def test_spec_example_b_p(self):
+        # WHATWG 13.2.10.2 "Misnested tags: <b><p></b></p>" — the "3"
+        # ends up inside <p>, NOT inside the reconstructed <b> (the
+        # outer loop's second pass pops the clone)
+        assert self._body("<b>1<p>2</b>3</p>") == "<b>1</b><p><b>2</b>3</p>"
+
+    def test_spec_example_b_i(self):
+        # WHATWG 13.2.10.1 "Misnested tags: <b><i></b></i>"
+        assert self._body("<p>1<b>2<i>3</b>4</i>5</p>") == (
+            "<p>1<b>2<i>3</i></b><i>4</i>5</p>"
+        )
+
+    def test_formatting_into_block(self):
+        assert self._body("<div><b>x<p>y</b>z</div>") == (
+            "<div><b>x</b><p><b>y</b>z</p></div>"
+        )
+
+    def test_two_formatting_levels_into_block(self):
+        assert self._body("<b><i>1<p>2</b>3") == (
+            "<b><i>1</i></b><i><p><b>2</b>3</p></i>"
+        )
+
+    def test_a_start_closes_active_a(self):
+        assert self._body("<a>1<a>2</a>3</a>") == "<a>1</a><a>2</a>3"
+
+    def test_a_across_paragraph(self):
+        assert self._body("<a>1<p>2</a>3</p>") == "<a>1</a><p><a>2</a>3</p>"
+
+    def test_reconstruction_across_paragraphs(self):
+        # an unclosed <b> reconstructs in every later paragraph
+        assert self._body("<p><b>one</p><p>two</p>") == (
+            "<p><b>one</b></p><p><b>two</b></p>"
+        )
+
+    def test_noahs_ark_bounds_duplicates(self):
+        # at most 3 identical entries reconstruct — not 5
+        got = self._body("<p><b><b><b><b><b>x</p><p>y</p>")
+        assert got.endswith("<p><b><b><b>y</b></b></b></p>")
+
+    def test_formatting_scope_marker_at_cell(self):
+        # formatting never leaks out of a table cell (AFE marker)
+        assert self._body("<table><tr><td><b>x</td><td>y</td></tr></table>") == (
+            "<table><tr><td><b>x</b></td><td>y</td></tr></table>"
+        )
+
+    def test_foster_parented_formatting(self):
+        # <b> opened in table context is fostered before the table and
+        # reconstructed after it closes
+        assert self._body("<table><b>x</table>after") == (
+            "<b>x</b><table></table><b>after</b>"
+        )
+
+    def test_foster_parented_text(self):
+        assert self._body("<table>text<td>cell</table>") == (
+            "text<table><td>cell</td></table>"
+        )
+
+    def test_clear_back_to_table_context(self):
+        # fostered formatting is popped before the next row inserts —
+        # table structure never nests inside fostered content
+        assert self._body("<table><em><tr><td>x</td></tr></table>") == (
+            "<em></em><table><tr><td>x</td></tr></table>"
+        )
+
+    def test_stray_cell_in_body_ignored(self):
+        # spec "in body": td/tr/tbody/... with no open table are ignored
+        assert self._body("<td>bare</td>text") == "baretext"
+        assert self._body("<tr><td>a</td></tr>x") == "ax"
+
+    def test_cell_closed_across_block_by_next_row(self):
+        assert self._body("<table><tr><td>a<div>x<tr><td>b</table>") == (
+            "<table><tr><td>a<div>x</div></td></tr><tr><td>b</td></tr></table>"
+        )
+
+    def test_end_p_without_open_p_inserts_empty(self):
+        assert self._body("x</p>y") == "x<p></p>y"
+
+    def test_end_br_acts_as_start(self):
+        assert self._body("a</br>b") == "a<br/>b"
+
+    def test_heading_end_matches_any_heading(self):
+        assert self._body("<h2>title</h3>after") == "<h2>title</h2>after"
+
+    def test_any_other_end_tag_stops_at_special(self):
+        # a stray </span> must not reach across an open block
+        assert self._body("<span><div>x</span>y</div>") == (
+            "<span><div>xy</div></span>"
+        )
+
+    def test_block_end_tag_bounded_by_cell_scope(self):
+        # a stray </div> inside a cell must not destroy the table
+        assert self._body("<div><table><tr><td>c</div>d</td></tr></table>") == (
+            "<div><table><tr><td>cd</td></tr></table></div>"
+        )

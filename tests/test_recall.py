@@ -234,3 +234,63 @@ class TestTrainCodebook:
         a = train_codebook(emb, 16, 2)
         b = train_codebook(emb, 16, 2)
         assert a == b
+
+
+class TestClusteredRecall:
+    """Round 5: the clustered corpus is where an index DEMONSTRATES
+    value — recall must far exceed scan fraction (the isotropic corpus
+    above caps recall ≈ scan fraction by construction, BENCH.md). All
+    numbers deterministic (md5-generated corpus, fixed panel)."""
+
+    @pytest.fixture(scope="class")
+    def clustered_rows(self, spark):
+        from go_readability_spark.operators.ann_eval import (
+            ann_recall_table,
+            clustered_embeddings,
+        )
+        from go_readability_spark.queries import (
+            ANN_RECALL_CLUSTERED_QIDS,
+            CLUSTER_K,
+            CLUSTER_N,
+            CLUSTER_SPREAD,
+        )
+
+        with persist_scope(spark):
+            rows = ann_recall_table(
+                clustered_embeddings(
+                    spark, CLUSTER_N, CLUSTER_K, 64, CLUSTER_SPREAD
+                ),
+                ANN_RECALL_CLUSTERED_QIDS,
+                k=10,
+            ).collect()
+        return {r["variant"]: r for r in rows}
+
+    def test_index_value_recall_far_exceeds_scan(self, clustered_rows):
+        """The round-4 verdict's 'done' bar: recall@10 >= 0.8 at <= 15%
+        scan (measured: IVF np1 recall 1.0 at 6.2% scan)."""
+        for fam in ("ivf_seed_np1", "ivf_trained_np1"):
+            r = clustered_rows[fam]
+            assert r["recall_at_k"] >= 0.8, r
+            assert r["candidate_frac"] <= 0.15, r
+            # value = recall/scan >= 5x (random candidates give ~frac)
+            assert r["recall_at_k"] >= 5 * r["candidate_frac"], r
+
+    def test_lsh_gradient_present(self, clustered_rows):
+        """Partial cluster overlap (spread 0.3) leaves LSH a real
+        single-vs-multiprobe trade (measured 0.68 vs 0.98) instead of
+        a saturated all-1.0 table."""
+        single = clustered_rows["lsh_single"]
+        multi = clustered_rows["lsh_multi"]
+        assert single["recall_at_k"] >= 0.5
+        assert multi["recall_at_k"] >= single["recall_at_k"] + 0.1
+        assert multi["recall_at_k"] >= 0.9
+
+    def test_clustered_beats_isotropic_value(self, clustered_rows, recall_rows):
+        """Same index arithmetic, structured vs structureless corpus:
+        recall-per-scanned-fraction must be decisively higher on the
+        clustered corpus (the whole point of the population)."""
+        iso = recall_rows["ivf_trained_np1"]
+        clu = clustered_rows["ivf_trained_np1"]
+        iso_value = iso["recall_at_k"] / max(iso["candidate_frac"], 1e-9)
+        clu_value = clu["recall_at_k"] / max(clu["candidate_frac"], 1e-9)
+        assert clu_value >= 3 * iso_value, (iso_value, clu_value)

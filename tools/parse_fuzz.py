@@ -45,6 +45,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FORMATTING = ["b", "i", "em", "strong", "code", "small", "u", "s"]
+_LT_ATTR = re.compile(r" <[a-zA-Z][^\s=<>]*=\"")
 _END_TAG = re.compile(r"</([a-zA-Z][a-zA-Z0-9-]*)>")
 BLOCKS = ["div", "p", "section", "article", "blockquote", "li", "h2", "aside"]
 WORDS = (
@@ -92,6 +93,16 @@ def gen_doc(rng: random.Random, max_tokens: int = 120) -> str:
                         "<table><tbody><tr><th>h",
                         "</table>",
                         "<td>bare</td>",
+                        # round 5: adoption-agency + foster-parenting
+                        # pressure — formatting misnested across blocks
+                        # and table-interleaved text/formatting
+                        "<b>1<p>2</b>3</p>",
+                        "<a>x<div>y</a>z</div>",
+                        "<table><b>bold",
+                        "<table><em><tr><td>cell",
+                        "<table>pre<td>in</td>post</table>",
+                        "<p><b><b><b><b>stack</p>",
+                        "<table><tr>txt<td>c<table><i>inner",
                     ]
                 )
             )
@@ -140,6 +151,12 @@ def classify_fixpoint_divergence(s1: str, s2: str) -> str:
       cell-reclose  reparse closes an open <td>/<th> (stray-cell case)
       text-reorder  foster-parented content lands elsewhere (a <table>
                     sits at the divergence site)
+      attr-retokenize  an attribute whose NAME contains '<' (tokenizer
+                    output for soup like "<article <select>") serializes
+                    verbatim and re-tokenizes as a tag open on reparse —
+                    inherently non-round-trippable markup (x/net/html's
+                    Render has the same property); tree building around
+                    the re-tokenized tag then differs
       unknown       none of the above — a class this catalogue does
                     NOT cover (the pytest gate fails on it, so a new
                     divergence shape cannot hide in the tail)
@@ -169,6 +186,10 @@ def classify_fixpoint_divergence(s1: str, s2: str) -> str:
     # serialization (all observed reorders are content fostered out of /
     # into an open <table>)
     lo = max(i - 150, 0)
+    # attribute-name-with-'<' evidence takes priority: it explains the
+    # divergence regardless of any table in the window
+    if _LT_ATTR.search(s1[lo:i + 250]) or _LT_ATTR.search(s2[lo:i + 250]):
+        return "attr-retokenize"
     if "<table" in s1[lo:i + 250] or "<table" in s2[lo:i + 250]:
         return "text-reorder"
     return "unknown"
