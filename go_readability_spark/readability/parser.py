@@ -184,6 +184,22 @@ _TABLE_END_TAGS = frozenset({
     "col", "colgroup",
 })
 
+# tag -> (match set, boundary set) for scope-bounded end-tag searches,
+# precomputed off the hot path (formatting tags are excluded: they run
+# the adoption agency; anything absent uses "any other end tag")
+_END_TAG_RULES: dict[str, tuple[frozenset[str], frozenset[str]]] = {}
+for _t in _HEADINGS:
+    _END_TAG_RULES[_t] = (_HEADINGS, DEFAULT_SCOPE)
+for _t in _TABLE_END_TAGS:
+    _END_TAG_RULES[_t] = (frozenset({_t}), _TABLE_SCOPE)
+_END_TAG_RULES["p"] = (frozenset({"p"}), _BUTTON_SCOPE)
+for _t in ("li", "dd", "dt"):
+    _END_TAG_RULES[_t] = (frozenset({_t}), _LIST_ITEM_SCOPE)
+for _t in SPECIAL_ELEMENTS:
+    if _t not in _END_TAG_RULES:
+        _END_TAG_RULES[_t] = (frozenset({_t}), DEFAULT_SCOPE)
+del _t
+
 # Elements whose insertion pushes a MARKER onto the active-formatting
 # list; popping any of them clears the list back to (and including) the
 # last marker — formatting never leaks out of a cell/caption/template.
@@ -345,13 +361,16 @@ class _TreeBuilder(HTMLParser):
         afe = self.afe
         if not afe:
             return
+        stack = self.stack
         entry = afe[-1]
-        if entry is None or entry in self.stack:  # identity-based `in`
+        # `in` is identity-based membership here (VElement has no
+        # __eq__), evaluated as a C-level scan
+        if entry is None or entry in stack:
             return
         i = len(afe) - 1
         while i > 0:
             prev = afe[i - 1]
-            if prev is None or prev in self.stack:
+            if prev is None or prev in stack:
                 break
             i -= 1
         for j in range(i, len(afe)):
@@ -387,9 +406,20 @@ class _TreeBuilder(HTMLParser):
         if len(stack) <= 1:
             return
         cur = stack[-1]
-        if cur.tag_name == subject and not any(cur is e for e in afe):
-            stack.pop()
-            return
+        if cur.tag_name == subject:
+            # balanced-tag fast paths (the overwhelmingly common case):
+            # the current node is the subject. If it IS the last AFE
+            # entry, the general algorithm resolves to exactly
+            # pop-both (fmt = afe[-1] = cur, on stack, in scope, no
+            # special element below it → no furthest block); if it is
+            # in no AFE entry at all, the spec's step 2 pops it.
+            if afe and afe[-1] is cur:
+                stack.pop()
+                afe.pop()
+                return
+            if not any(cur is e for e in afe):
+                stack.pop()
+                return
         for _ in range(8):  # outer loop
             # formatting element: last matching entry after the last marker
             fmt = None
@@ -695,19 +725,11 @@ class _TreeBuilder(HTMLParser):
             return
         # scope-bounded search (per-tag boundary set, WHATWG scopes):
         # a block end tag must not reach across a table/cell boundary
-        if tag in _HEADINGS:
-            match, boundary = _HEADINGS, DEFAULT_SCOPE
-        elif tag in _TABLE_END_TAGS:
-            match, boundary = frozenset({tag}), _TABLE_SCOPE
-        elif tag == "p":
-            match, boundary = frozenset({"p"}), _BUTTON_SCOPE
-        elif tag in ("li", "dd", "dt"):
-            match, boundary = frozenset({tag}), _LIST_ITEM_SCOPE
-        elif tag in SPECIAL_ELEMENTS:
-            match, boundary = frozenset({tag}), DEFAULT_SCOPE
-        else:
+        rule = _END_TAG_RULES.get(tag)
+        if rule is None:
             self._any_other_end_tag(tag)
             return
+        match, boundary = rule
         for i in range(len(stack) - 1, 0, -1):
             t = stack[i].tag_name
             if t in match:
@@ -740,7 +762,7 @@ class _TreeBuilder(HTMLParser):
         # runs inside table context don't — the spec's "in table text"
         # inserts those into the table element without reconstruction)
         if self.afe and (
-            data.strip() or self._current().tag_name not in _TABLE_CONTEXT
+            self._current().tag_name not in _TABLE_CONTEXT or data.strip()
         ):
             self._reconstruct_afe()
 
