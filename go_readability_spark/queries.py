@@ -1386,6 +1386,94 @@ left join sizes on sizes.comp_id = comp.comp_id
 """
 
 
+def q_dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_semantic with the PLUGGABLE keeper policy exercised: the
+    kept representative per cluster is the best-QUALITY member — passes
+    all Gopher gates first (quality_filter's verdict), then the longest
+    document, then the smallest id as the deterministic tiebreak. This
+    is the actual SemDeDup curation decision (keep the best duplicate,
+    not an arbitrary one); the min-id variant above is the policy's
+    cheap default. Same LSH→components clusters; one extra broadcast-
+    sized join against the quality table + a per-cluster window (one
+    shuffle on cluster_id — clusters are near-dup groups, so partition
+    skew is bounded by the biggest duplicate family)."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import dedup_components, embedding_near_dups_lsh
+    from .operators.textops import quality_filter
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = embedding_near_dups_lsh(
+        emb, EMB_NEAR_T, n_planes=EMB_LSH_PLANES, dim=EMB_DIM
+    )
+    comps = dedup_components(pairs, a_col="vec_a", b_col="vec_b")
+    # embeddings.vec_id aligns with documents.doc_id (TESTDATA.md);
+    # missing quality rows rank LAST via the -1 sentinels (coalesced
+    # identically in the DuckDB oracle, sidestepping the engines'
+    # NULL-ordering defaults entirely)
+    qual = quality_filter(docs).select(
+        F.col("doc_id").alias("vec_id"),
+        F.coalesce(F.col("keep").cast("int"), F.lit(-1)).alias("q_pass"),
+        F.coalesce(F.col("n_words"), F.lit(-1)).alias("q_words"),
+    )
+    spine = emb.select(F.col("vec_id"))
+    labeled = (
+        spine.join(
+            comps.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component_id"), F.col("vec_id")).alias(
+                "cluster_id"
+            ),
+            F.coalesce(F.col("component_size"), F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+        )
+        .join(qual, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "cluster_size",
+            F.coalesce(F.col("q_pass"), F.lit(-1)).alias("q_pass"),
+            F.coalesce(F.col("q_words"), F.lit(-1)).alias("q_words"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("q_pass").desc(), F.col("q_words").desc(), F.col("vec_id").asc()
+    )
+    return labeled.select(
+        "vec_id",
+        "cluster_id",
+        "cluster_size",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+def _oracle_dedup_semantic_keep_best() -> str:
+    seed = f"select vec_a a, vec_b b from ({_oracle_dedup_embedding_lsh()}) t"
+    qf = _oracle_quality_filter()
+    return f"""
+with recursive {_components_ctes(seed)},
+qf as ({qf}),
+labeled as (
+  select e.vec_id::bigint vec_id,
+    coalesce(comp.comp_id, e.vec_id)::bigint cluster_id,
+    coalesce(sizes.n_members, 1)::bigint cluster_size,
+    coalesce(cast(q.keep as int), -1) q_pass,
+    coalesce(q.n_words, -1) q_words
+  from embeddings e
+  left join comp on comp.node = e.vec_id
+  left join sizes on sizes.comp_id = comp.comp_id
+  left join qf q on q.doc_id = e.vec_id)
+select vec_id, cluster_id, cluster_size,
+  (row_number() over (partition by cluster_id
+     order by q_pass desc, q_words desc, vec_id) = 1) keep
+from labeled
+"""
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(
         load_table(spark, sf_dir, "embeddings"), EMB_NEAR_T, EMB_BLOCK
@@ -1754,6 +1842,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_components": q_dedup_components,
     "dedup_semantic": q_dedup_semantic,
+    "dedup_semantic_keep_best": q_dedup_semantic_keep_best,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "text_profile": q_text_profile,
@@ -1827,6 +1916,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash_pairs": _oracle_simhash_pairs(),
     "dedup_components": _oracle_dedup_components(),
     "dedup_semantic": _oracle_dedup_semantic(),
+    "dedup_semantic_keep_best": _oracle_dedup_semantic_keep_best(),
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "ann_topk": ORACLE_ANN_TOPK,
     "text_profile": _oracle_text_profile(),
