@@ -194,6 +194,11 @@ def cosine_similarity_pandas(a: Column, b: Column) -> Column:
 
 
 def cosine_similarity_sql(a: str, b: str) -> str:
+    # nullif pins NULL-on-zero-norm in the SQL itself (matching Spark's
+    # try_divide) instead of leaning on DuckDB's pre-1.1 x/0 -> NULL
+    # default, which 1.1+ flips to inf/nan (ieee_floating_point_ops);
+    # identical IEEE division for every nonzero norm.
     return (
-        f"({dot_sql(a, b)} / sqrt({dot_sql(a, a)}) / sqrt({dot_sql(b, b)}))"
+        f"({dot_sql(a, b)} / nullif(sqrt({dot_sql(a, a)}), 0.0) "
+        f"/ nullif(sqrt({dot_sql(b, b)}), 0.0))"
     )

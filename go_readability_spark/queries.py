@@ -1002,6 +1002,73 @@ where round({cos}, 6) >= {EMB_NEAR_T}
 """
 
 
+# adversarial rows for the hardened variant: a NULL vector, a ragged
+# (wrong-dimension) vector, and an all-zero (zero-norm) vector — every
+# class the Arrow/Catalyst vector hardening must survive AND exclude
+_BAD_VEC_ROWS_SPARK = """
+select cast(900001 as bigint) vec_id, cast(null as array<float>) embedding
+union all
+select cast(900002 as bigint), array(cast(0.25 as float), cast(-0.5 as float))
+union all
+select cast(900003 as bigint),
+  transform(sequence(1, {dim}), i -> cast(0.0 as float))
+"""
+_BAD_VEC_ROWS_SQL = """
+select 900001::bigint vec_id, cast(null as float[]) embedding
+union all
+select 900002::bigint, [0.25::float, -0.5::float]
+union all
+select 900003::bigint,
+  list_transform(range(1, {dim} + 1), i -> 0.0::float)
+"""
+
+
+def q_dedup_embedding_lsh_hardened(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_embedding_lsh over a corpus POISONED with the malformed
+    rows a 100 TB ingest inevitably contains — a NULL embedding, a
+    ragged (wrong-dim) vector, a zero-norm vector. The NULL-hardening
+    paths (functions/vectors.py: masked Arrow folds, try_divide,
+    bucket-0/cell-(-1) sentinels) must route all three OUT of the
+    result (NULL cosine never clears `>= t`), so the output equals the
+    clean corpus's pairs — verified by the oracle unioning the SAME
+    poison rows. Round-4 hardening was pytest-only; this puts it under
+    the driver's value gate (round-4 VERDICT task 8)."""
+    from .operators.dedup import embedding_near_dups_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    poisoned = emb.unionByName(
+        spark.sql(_BAD_VEC_ROWS_SPARK.format(dim=EMB_DIM))
+    )
+    return embedding_near_dups_lsh(
+        poisoned, EMB_NEAR_T, n_planes=EMB_LSH_PLANES, dim=EMB_DIM
+    )
+
+
+def _oracle_dedup_embedding_lsh_hardened() -> str:
+    from .operators.similarity import lsh_bucket_sql
+
+    bucket = lsh_bucket_sql("embedding", EMB_LSH_PLANES, EMB_DIM)
+    cos = cosine_similarity_sql("a.embedding", "b.embedding")
+    bad = _BAD_VEC_ROWS_SQL.format(dim=EMB_DIM)
+    return f"""
+with poisoned as (
+  select vec_id, embedding from embeddings
+  union all
+  {bad}
+),
+bk as (select vec_id, embedding, {bucket} bucket from poisoned
+       where embedding is not null and len(embedding) = {EMB_DIM})
+select a.vec_id::bigint vec_a, b.vec_id::bigint vec_b,
+  round({cos}, 6) cos
+from bk a join bk b on a.bucket = b.bucket and a.vec_id < b.vec_id
+where round({cos}, 6) >= {EMB_NEAR_T}
+"""
+
+
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Showcase composition: the full training-data pipeline in one plan.
 
@@ -1829,6 +1896,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_pair_recall": q_embedding_pair_recall,
     "embedding_pair_recall_planted": q_embedding_pair_recall_planted,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_embedding_lsh_hardened": q_dedup_embedding_lsh_hardened,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "render_formats": q_render_formats,
     # oracle-checked
@@ -1909,6 +1977,7 @@ ORACLES: dict[str, str] = {
     "embedding_pair_recall": _oracle_embedding_pair_recall(),
     "embedding_pair_recall_planted": _oracle_embedding_pair_recall_planted(),
     "dedup_embedding_lsh": _oracle_dedup_embedding_lsh(),
+    "dedup_embedding_lsh_hardened": _oracle_dedup_embedding_lsh_hardened(),
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": _oracle_minhash(),

@@ -52,17 +52,34 @@ def main(argv=None) -> int:
     # In production the session comes from spark-submit's conf; these
     # configs fill local-run defaults — notably the Arrow batch size,
     # which must stay small for document-sized rows (plans/session.py).
-    spark = (
+    builder = (
         SparkSession.builder.appName("gr-spark-extract")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         # bound the vectorized parquet read batch the same way — the
         # 4096-row default over-reserves on giant-document tables
         # (plans/session.py has the full story)
         .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+        # local-mode fallback only (spark-submit confs win when set):
+        # the default 1g driver heap cannot run a giant-document corpus
+        # — the 16 GB/600k checkpoint run OOMs on it (SCALE.md §13)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # direct `python job.py` launch (no spark-submit): the implicit
+        # default is local[*] = every logical CPU, and 32 concurrent
+        # giant-document scan tasks overwhelm the column-vector buffers
+        # no matter the heap (measured on the 16 GB corpus, SCALE.md
+        # §13). Cap to the measured-effective core count, same as the
+        # library sessions (plans/session.py). Under spark-submit the
+        # launcher's --master wins and this branch never runs.
+        cores = min(int(os.environ.get("SPARK_GRAFT_CPUS", "16")), 16)
+        builder = builder.master(f"local[{cores}]")
+    spark = builder.getOrCreate()
     options = ReadabilityOptions(
         char_threshold=args.char_threshold, forced_page_type=args.page_type
     )
