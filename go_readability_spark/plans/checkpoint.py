@@ -30,6 +30,8 @@ import time
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .session import giant_doc_scan
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -160,22 +162,13 @@ def run_checkpointed(
             f"resume must use the same value (got {n_parts})"
         )
 
-    # done-part ids from the manifest. For the hash-derived scheme the
-    # pending universe is 0..n_parts-1 by construction (pmod), known
-    # without touching the input — checked BEFORE any staging work so a
-    # fully-done rerun is a manifest read and nothing else. An input
-    # that brings its OWN part column (the Iceberg-partitioned
-    # production shape) has arbitrary part values, so pending comes
-    # from the input's distinct parts via the broadcast anti-join.
-    done_parts: set[int] = set()
-    if manifest.columns:
-        done_parts = {
-            int(r["part"])
-            for r in manifest.filter(F.col("status") == "done")
-            .select("part")
-            .distinct()
-            .collect()
-        }
+    # Pending parts. For the hash-derived scheme the universe is
+    # 0..n_parts-1 by construction (pmod), known without touching the
+    # input — checked BEFORE any staging work so a fully-done rerun is
+    # a manifest read and nothing else. An input that brings its OWN
+    # part column (the Iceberg-partitioned production shape) has
+    # arbitrary part values, so pending comes from the input's distinct
+    # parts via the broadcast anti-join (no separate done-set job).
     has_own_part = "part" in documents.columns
     if has_own_part:
         pending_parts = [
@@ -186,8 +179,23 @@ def run_checkpointed(
             .collect()
         ]
     else:
+        done_parts: set[int] = set()
+        if manifest.columns:
+            done_parts = {
+                int(r["part"])
+                for r in manifest.filter(F.col("status") == "done")
+                .select("part")
+                .distinct()
+                .collect()
+            }
         pending_parts = [p for p in range(n_parts) if p not in done_parts]
     if not pending_parts:
+        # a kill can land between the last mark_partition_done and the
+        # staging cleanup below — sweep the leftover staged copy here
+        # so the leak is one-rerun-bounded, not permanent
+        import shutil
+
+        shutil.rmtree(out_dir + "__staging", ignore_errors=True)
         return _read_output(spark, out_dir)
 
     # STAGE the part-keyed input as hive-partitioned parquet, then let
@@ -204,53 +212,65 @@ def run_checkpointed(
     # "part" column prunes at the source scan (the production path this
     # directory layout simulates).
     staging = os.path.join(out_dir + "__staging", f"n{n_parts}")
-    if has_own_part:
-        parts_src = documents
-        staged = False
-    else:
-        if not os.path.exists(os.path.join(staging, "_SUCCESS")):
-            with_part(documents, n_parts).write.partitionBy("part").mode(
-                "overwrite"
+    # The staging scan and the per-part extraction scans read giant-
+    # document rows: pin the small columnar read batch for the whole
+    # run (library sessions default to 4096, which fails these scans —
+    # measured ladder on plans.session.giant_doc_scan). job.py already
+    # runs 256 session-wide; the scope is a no-op there.
+    with giant_doc_scan(spark):
+        if has_own_part:
+            parts_src = documents
+            staged = False
+        else:
+            if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+                with_part(documents, n_parts).write.partitionBy(
+                    "part"
+                ).mode("overwrite").parquet(staging)
+            # explicit schema: a zero-row input stages to a _SUCCESS-only
+            # directory, which schema inference cannot read (empty input
+            # must return the documented empty result, not crash) — and
+            # skipping inference is free speed on the non-empty path
+            parts_src = spark.read.schema(
+                with_part(documents, n_parts).schema
             ).parquet(staging)
-        parts_src = spark.read.parquet(staging)
-        staged = True
+            staged = True
 
-    manifest_lock = threading.Lock()
+        manifest_lock = threading.Lock()
 
-    def process_part(part: int) -> None:
-        slice_df = parts_src.filter(F.col("part") == part).drop("part")
-        extracted = extract_documents(
-            slice_df, options=options, num_partitions=num_partitions
-        )
-        part_dir = os.path.join(out_dir, f"part={int(part)}")
-        extracted.write.mode("overwrite").parquet(part_dir)
-        stats = _lineage_and_counts(spark.read.parquet(part_dir))
-        with manifest_lock:
-            mark_partition_done(
-                spark, manifest_dir, part, stats, n_parts=n_parts
+        def process_part(part: int) -> None:
+            slice_df = parts_src.filter(F.col("part") == part).drop("part")
+            extracted = extract_documents(
+                slice_df, options=options, num_partitions=num_partitions
             )
+            part_dir = os.path.join(out_dir, f"part={int(part)}")
+            extracted.write.mode("overwrite").parquet(part_dir)
+            stats = _lineage_and_counts(spark.read.parquet(part_dir))
+            with manifest_lock:
+                mark_partition_done(
+                    spark, manifest_dir, part, stats, n_parts=n_parts
+                )
 
-    if concurrency <= 1:
-        for part in sorted(pending_parts):
-            process_part(part)
-    else:
-        from concurrent.futures import ThreadPoolExecutor
+        if concurrency <= 1:
+            for part in sorted(pending_parts):
+                process_part(part)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=concurrency) as pool:
-            futures = {
-                part: pool.submit(process_part, part)
-                for part in sorted(pending_parts)
-            }
-        errors = [
-            (part, f.exception())
-            for part, f in futures.items()
-            if f.exception() is not None
-        ]
-        if errors:
-            part, exc = errors[0]
-            raise RuntimeError(
-                f"{len(errors)} partition(s) failed; first: part={part}"
-            ) from exc
+            with ThreadPoolExecutor(max_workers=concurrency) as pool:
+                futures = {
+                    part: pool.submit(process_part, part)
+                    for part in sorted(pending_parts)
+                }
+            errors = [
+                (part, f.exception())
+                for part, f in futures.items()
+                if f.exception() is not None
+            ]
+            if errors:
+                part, exc = errors[0]
+                raise RuntimeError(
+                    f"{len(errors)} partition(s) failed; first: part={part}"
+                ) from exc
     if staged:
         import shutil
 

@@ -193,8 +193,12 @@ for _t in _HEADINGS:
 for _t in _TABLE_END_TAGS:
     _END_TAG_RULES[_t] = (frozenset({_t}), _TABLE_SCOPE)
 _END_TAG_RULES["p"] = (frozenset({"p"}), _BUTTON_SCOPE)
-for _t in ("li", "dd", "dt"):
-    _END_TAG_RULES[_t] = (frozenset({_t}), _LIST_ITEM_SCOPE)
+# only </li> searches in LIST ITEM scope (WHATWG "in body"); </dd> and
+# </dt> use default scope — an intervening <ul>/<ol> does not shield an
+# open <dd> from its end tag (x/net/html popUntil(defaultScope))
+_END_TAG_RULES["li"] = (frozenset({"li"}), _LIST_ITEM_SCOPE)
+for _t in ("dd", "dt"):
+    _END_TAG_RULES[_t] = (frozenset({_t}), DEFAULT_SCOPE)
 for _t in SPECIAL_ELEMENTS:
     if _t not in _END_TAG_RULES:
         _END_TAG_RULES[_t] = (frozenset({_t}), DEFAULT_SCOPE)

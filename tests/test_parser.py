@@ -461,3 +461,10 @@ class TestAdoptionAgencySpec:
         assert self._body("<div><table><tr><td>c</div>d</td></tr></table>") == (
             "<div><table><tr><td>cd</td></tr></table></div>"
         )
+
+    def test_dd_end_uses_default_scope(self):
+        # WHATWG: only </li> searches list-item scope; </dd>/</dt> use
+        # default scope, so an intervening <ul> does not shield the dd
+        assert self._body("<dl><dd>a<ul><li>b</dd>c</dl>") == (
+            "<dl><dd>a<ul><li>b</li></ul></dd>c</dl>"
+        )

@@ -358,3 +358,44 @@ class TestMalformedSpans:
             df, num_partitions=1, native_reassembly=True, max_doc_bytes=10
         ).collect()[0]
         assert row["error"].startswith("doc_bytes")
+
+
+class TestCheckpointStagingEdgeCases:
+    def test_empty_input_returns_empty_and_cleans_staging(self, spark, tmp_path):
+        """A zero-row input stages to a _SUCCESS-only directory that
+        schema inference cannot read — the explicit-schema staged read
+        must return the documented empty result instead of crashing
+        (round-5 review finding), and staging must not linger."""
+        import os
+
+        from go_readability_spark.plans.checkpoint import run_checkpointed
+        from go_readability_spark.schemas import DOCUMENTS_SCHEMA
+
+        out = str(tmp_path / "out")
+        empty = spark.createDataFrame([], DOCUMENTS_SCHEMA)
+        res = run_checkpointed(
+            spark, empty, out, str(tmp_path / "man"), n_parts=4
+        )
+        assert res.count() == 0
+        assert not os.path.exists(out + "__staging")
+
+    def test_fully_done_rerun_sweeps_leftover_staging(self, spark, tmp_path):
+        """A kill between the last part commit and the staging cleanup
+        leaks the staged corpus copy; the next (fully-done) rerun must
+        sweep it rather than leave it forever."""
+        import os
+
+        from go_readability_spark.plans.checkpoint import run_checkpointed
+        from go_readability_spark.sources.tables import corpus_df
+
+        out = str(tmp_path / "out")
+        man = str(tmp_path / "man")
+        docs = corpus_df(spark, 12, num_partitions=2)
+        run_checkpointed(spark, docs, out, man, n_parts=2)
+        # simulate the kill-after-last-commit leak
+        leftover = out + "__staging/n2"
+        os.makedirs(leftover, exist_ok=True)
+        open(os.path.join(leftover, "_SUCCESS"), "w").close()
+        res = run_checkpointed(spark, docs, out, man, n_parts=2)
+        assert res.count() == 12
+        assert not os.path.exists(out + "__staging")
