@@ -35,9 +35,12 @@ algorithm is sensitive to:
   an empty one, ``</br>`` acts as ``<br>``, ``</hN>`` closes any open
   heading
 
-Not implemented (golden corpora avoid them; fixture-001 does not use them):
-template contents, SVG/MathML foreign content, tbody/tr synthesis for
-cells opened directly under <table> (cells nest where they appear).
+- **tbody/tr synthesis**: rows opened directly under <table> get a
+  tbody; cells opened under <table>/a section get tbody and/or tr
+  synthesized (the "in table"/"in table body" reprocess rules)
+
+Not implemented (golden corpora avoid them; fixture-001 does not use
+them): template contents, SVG/MathML foreign content.
 """
 
 from __future__ import annotations
@@ -334,6 +337,12 @@ class _TreeBuilder(HTMLParser):
                 parent.children.insert(idx, node)
                 return
         tgt.append_child(node)
+
+    def _insert_pushed(self, tag: str) -> None:
+        """Synthesize an attribute-less element at the current node."""
+        el = VElement(tag)
+        self.stack[-1].append_child(el)
+        self.stack.append(el)
 
     def _pop_upto(self, i: int) -> None:
         """``del stack[i:]`` with marker bookkeeping: popping a cell/
@@ -678,6 +687,19 @@ class _TreeBuilder(HTMLParser):
                 return  # spec "in body": stray table-structure tag ignored
             while len(stack) > 1 and stack[-1].tag_name not in clear:
                 self._pop_upto(len(stack) - 1)
+            # tbody/tr synthesis (WHATWG "in table"/"in table body"
+            # reprocess rules, what x/net/html emits): a row opened
+            # directly under <table> gets a tbody; a cell opened under
+            # <table> or a section gets tbody and/or tr synthesized
+            cur = stack[-1].tag_name
+            if tag == "tr" and cur == "table":
+                self._insert_pushed("tbody")
+            elif tag in ("td", "th"):
+                if cur == "table":
+                    self._insert_pushed("tbody")
+                    cur = "tbody"
+                if cur in ("tbody", "thead", "tfoot"):
+                    self._insert_pushed("tr")
 
         if self.afe and tag not in _NO_RECONSTRUCT:
             self._reconstruct_afe()

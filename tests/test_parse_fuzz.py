@@ -82,19 +82,19 @@ def test_foster_parenting_fixpoint_catalogue():
         # serialize-stable
         (
             "<td><table><u><td>",
-            "<u></u><table><td></td></table>",
+            "<u></u><table><tbody><tr><td></td></tr></tbody></table>",
             None,
             None,
         ),
         (
             "<th><table><aside><td>",
-            "<aside></aside><table><td></td></table>",
+            "<aside></aside><table><tbody><tr><td></td></tr></tbody></table>",
             None,
             None,
         ),
         (
             "<table><tr>x<td>a",
-            "x<table><tr><td>a</td></tr></table>",
+            "x<table><tbody><tr><td>a</td></tr></tbody></table>",
             None,  # foster-parented TEXT lands before the table: stable
             None,
         ),
@@ -117,9 +117,11 @@ def test_tr_start_closes_open_row():
     close the whole row (HTML5 implied ends), not just the cell."""
     cases = {
         "<table><tr><td>a<tr><td>b</table>":
-            "<table><tr><td>a</td></tr><tr><td>b</td></tr></table>",
+            "<table><tbody><tr><td>a</td></tr>"
+            "<tr><td>b</td></tr></tbody></table>",
         "<table><tr><td>a</td><td>b<tr><td>c</table>":
-            "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td></tr></table>",
+            "<table><tbody><tr><td>a</td><td>b</td></tr>"
+            "<tr><td>c</td></tr></tbody></table>",
         "<table><tbody><tr><td>a<tbody><tr><td>b</table>":
             "<table><tbody><tr><td>a</td></tr></tbody>"
             "<tbody><tr><td>b</td></tr></tbody></table>",
@@ -136,13 +138,16 @@ def test_table_start_closes_open_table_but_not_in_cell():
         parse_html("<table><tr><td>a</td><table><tr><td>b</table>")
     )
     assert (
-        "<table><tr><td>a</td></tr></table>"
-        "<table><tr><td>b</td></tr></table>" in got
+        "<table><tbody><tr><td>a</td></tr></tbody></table>"
+        "<table><tbody><tr><td>b</td></tr></tbody></table>" in got
     )
     nested = serialize_document_to_html(
         parse_html("<table><tr><td><table><tr><td>x</table></td></tr></table>")
     )
-    assert "<td><table><tr><td>x</td></tr></table></td>" in nested
+    assert (
+        "<td><table><tbody><tr><td>x</td></tr></tbody></table></td>"
+        in nested
+    )
 
 
 def test_li_does_not_close_across_special_boundary():

@@ -267,33 +267,34 @@ class TestFosterParenting:
 
     def test_stray_text_in_table(self):
         assert self._body("<table>stray<tr><td>cell</td></tr></table>") == (
-            "<body>stray<table><tr><td>cell</td></tr></table></body>"
+            "<body>stray<table><tbody><tr><td>cell</td></tr></tbody></table></body>"
         )
 
     def test_block_element_in_table(self):
         assert self._body(
             "<table><div>block</div><tr><td>c</td></tr></table>"
-        ) == "<body><div>block</div><table><tr><td>c</td></tr></table></body>"
+        ) == "<body><div>block</div><table><tbody><tr><td>c</td></tr></tbody></table></body>"
 
     def test_text_in_tbody_and_tr(self):
         assert self._body(
             "<table><tbody>text<tr><td>c</td></tr></tbody></table>"
         ) == "<body>text<table><tbody><tr><td>c</td></tr></tbody></table></body>"
         assert self._body("<table><tr>rowtext<td>c</td></tr></table>") == (
-            "<body>rowtext<table><tr><td>c</td></tr></table></body>"
+            "<body>rowtext<table><tbody><tr><td>c</td></tr></tbody>"
+            "</table></body>"
         )
 
     def test_cell_content_not_fostered(self):
         assert self._body("<table><tr><td>fine</td></tr></table>") == (
-            "<body><table><tr><td>fine</td></tr></table></body>"
+            "<body><table><tbody><tr><td>fine</td></tr></tbody></table></body>"
         )
 
     def test_nested_table_fosters_into_cell(self):
         assert self._body(
             "<table><tr><td><table>inner<tr><td>x</td></tr></table></td></tr></table>"
         ) == (
-            "<body><table><tr><td>inner<table><tr><td>x</td></tr></table>"
-            "</td></tr></table></body>"
+            "<body><table><tbody><tr><td>inner<table><tbody><tr><td>x"
+            "</td></tr></tbody></table></td></tr></tbody></table></body>"
         )
 
 
@@ -321,7 +322,8 @@ class TestReviewRegressions:
             "</body></html>"
         )
         assert got == (
-            "<body><table><tr><td><b>x</b></td><td>y</td></tr></table></body>"
+            "<body><table><tbody><tr><td><b>x</b></td><td>y</td></tr>"
+            "</tbody></table></body>"
         )
 
     def test_successive_paragraphs_both_fostered(self):
@@ -334,8 +336,8 @@ class TestReviewRegressions:
             "</tr></table></div></body></html>"
         )
         assert got == (
-            "<body><div><table><tr></tr></table>"
-            "<table><tr><td>i</td></tr></table></div></body>"
+            "<body><div><table><tbody><tr></tr></tbody></table>"
+            "<table><tbody><tr><td>i</td></tr></tbody></table></div></body>"
         )
 
     def test_second_body_merges_attributes(self):
@@ -409,7 +411,7 @@ class TestAdoptionAgencySpec:
     def test_formatting_scope_marker_at_cell(self):
         # formatting never leaks out of a table cell (AFE marker)
         assert self._body("<table><tr><td><b>x</td><td>y</td></tr></table>") == (
-            "<table><tr><td><b>x</b></td><td>y</td></tr></table>"
+            "<table><tbody><tr><td><b>x</b></td><td>y</td></tr></tbody></table>"
         )
 
     def test_foster_parented_formatting(self):
@@ -421,14 +423,14 @@ class TestAdoptionAgencySpec:
 
     def test_foster_parented_text(self):
         assert self._body("<table>text<td>cell</table>") == (
-            "text<table><td>cell</td></table>"
+            "text<table><tbody><tr><td>cell</td></tr></tbody></table>"
         )
 
     def test_clear_back_to_table_context(self):
         # fostered formatting is popped before the next row inserts —
         # table structure never nests inside fostered content
         assert self._body("<table><em><tr><td>x</td></tr></table>") == (
-            "<em></em><table><tr><td>x</td></tr></table>"
+            "<em></em><table><tbody><tr><td>x</td></tr></tbody></table>"
         )
 
     def test_stray_cell_in_body_ignored(self):
@@ -438,7 +440,8 @@ class TestAdoptionAgencySpec:
 
     def test_cell_closed_across_block_by_next_row(self):
         assert self._body("<table><tr><td>a<div>x<tr><td>b</table>") == (
-            "<table><tr><td>a<div>x</div></td></tr><tr><td>b</td></tr></table>"
+            "<table><tbody><tr><td>a<div>x</div></td></tr>"
+            "<tr><td>b</td></tr></tbody></table>"
         )
 
     def test_end_p_without_open_p_inserts_empty(self):
@@ -459,7 +462,7 @@ class TestAdoptionAgencySpec:
     def test_block_end_tag_bounded_by_cell_scope(self):
         # a stray </div> inside a cell must not destroy the table
         assert self._body("<div><table><tr><td>c</div>d</td></tr></table>") == (
-            "<div><table><tr><td>cd</td></tr></table></div>"
+            "<div><table><tbody><tr><td>cd</td></tr></tbody></table></div>"
         )
 
     def test_dd_end_uses_default_scope(self):
