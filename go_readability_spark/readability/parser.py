@@ -714,7 +714,22 @@ class _TreeBuilder(HTMLParser):
     def handle_startendtag(self, tag: str, attrs) -> None:
         # "<div/>" on a non-void HTML element: x/net/html ignores the
         # self-closing flag and keeps the element open — same code path
-        # as a plain start tag either way.
+        # as a plain start tag. FOREIGN content honors the flag (spec
+        # "in foreign content"; x/net/html does the same): "<path/>"
+        # inside an open <svg>/<math> — and a self-closed <svg/> or
+        # <math/> itself — must not swallow following siblings. This
+        # tree has no namespace support (tags stay lowercased, exactly
+        # like the reference's VDOM conversion, ref parser.go:98), so
+        # the flag is the one foreign-content behavior that changes the
+        # extracted tree shape.
+        if tag in ("svg", "math") or (
+            tag not in VOID_ELEMENTS
+            and any(el.tag_name in ("svg", "math") for el in self.stack)
+        ):
+            self.handle_starttag(tag, attrs)
+            if self.stack and self.stack[-1].tag_name == tag:
+                self._pop_upto(len(self.stack) - 1)
+            return
         self.handle_starttag(tag, attrs)
 
     def _foster_point(self):

@@ -471,3 +471,13 @@ class TestAdoptionAgencySpec:
         assert self._body("<dl><dd>a<ul><li>b</dd>c</dl>") == (
             "<dl><dd>a<ul><li>b</li></ul></dd>c</dl>"
         )
+
+    def test_foreign_content_honors_self_closing(self):
+        # inside <svg>/<math>, the self-closing flag is honored (spec
+        # foreign content; x/net/html same) — siblings, not nesting
+        assert self._body("<svg><path/><circle/></svg>after") == (
+            "<svg><path></path><circle></circle></svg>after"
+        )
+        assert self._body("<p><svg/>x</p>") == "<p><svg></svg>x</p>"
+        # HTML elements still ignore the flag
+        assert self._body("<div/>x</div>") == "<div>x</div>"

@@ -103,6 +103,8 @@ def gen_doc(rng: random.Random, max_tokens: int = 120) -> str:
                         "<table>pre<td>in</td>post</table>",
                         "<p><b><b><b><b>stack</p>",
                         "<table><tr>txt<td>c<table><i>inner",
+                        "<svg><path/><circle/></svg>tail",
+                        "<math><mi>x</mi><mo/>y</math>",
                     ]
                 )
             )
