@@ -759,10 +759,13 @@ class _TreeBuilder(HTMLParser):
         if tag in FORMATTING_ELEMENTS:
             self._adoption_agency(tag)
             return
-        # fast path: balanced end tag closes the current node (marker
-        # bookkeeping still applies — this may be a cell/caption)
+        # fast path: balanced end tag closes the current node; marker
+        # bookkeeping only matters when it is a cell/caption-family tag
         if len(stack) > 1 and stack[-1].tag_name == tag:
-            self._pop_upto(len(stack) - 1)
+            if tag in MARKER_TAGS:
+                self._pop_upto(len(stack) - 1)
+            else:
+                stack.pop()
             return
         # scope-bounded search (per-tag boundary set, WHATWG scopes):
         # a block end tag must not reach across a table/cell boundary
