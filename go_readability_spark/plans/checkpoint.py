@@ -144,6 +144,13 @@ def run_checkpointed(
     driver-side lock. Failed parts don't block the others; the first
     failure is re-raised after the pool drains (finished parts are in
     the manifest, so a rerun resumes past them).
+
+    The RUN itself pins the giant-document columnar read batch
+    (plans.giant_doc_scan), but the RETURNED DataFrame plans lazily
+    under the caller's session conf — an action that re-reads the
+    giant-document output from a default-conf library session should
+    wrap itself in ``giant_doc_scan`` too (job.py is immune: it sets
+    the small batch session-wide).
     """
     from ..operators.extract import extract_documents
 

@@ -197,11 +197,10 @@ for _t in _TABLE_END_TAGS:
     _END_TAG_RULES[_t] = (frozenset({_t}), _TABLE_SCOPE)
 _END_TAG_RULES["p"] = (frozenset({"p"}), _BUTTON_SCOPE)
 # only </li> searches in LIST ITEM scope (WHATWG "in body"); </dd> and
-# </dt> use default scope — an intervening <ul>/<ol> does not shield an
-# open <dd> from its end tag (x/net/html popUntil(defaultScope))
+# </dt> take the default-scope rule from the SPECIAL_ELEMENTS fallback
+# below — an intervening <ul>/<ol> does not shield an open <dd> from
+# its end tag (x/net/html popUntil(defaultScope))
 _END_TAG_RULES["li"] = (frozenset({"li"}), _LIST_ITEM_SCOPE)
-for _t in ("dd", "dt"):
-    _END_TAG_RULES[_t] = (frozenset({_t}), DEFAULT_SCOPE)
 for _t in SPECIAL_ELEMENTS:
     if _t not in _END_TAG_RULES:
         _END_TAG_RULES[_t] = (frozenset({_t}), DEFAULT_SCOPE)
@@ -212,6 +211,15 @@ del _t
 # last marker — formatting never leaks out of a cell/caption/template.
 MARKER_TAGS = frozenset({
     "td", "th", "caption", "applet", "object", "marquee", "template",
+})
+
+# HTML integration points (WHATWG tree construction): inside these,
+# token processing resumes the HTML rules even under an open <svg>/
+# <math> — the nearest marker on the open stack decides foreignness.
+# "title" matters only under svg (in head it is never below an svg).
+_HTML_INTEGRATION_POINTS = frozenset({
+    "foreignobject", "desc", "title",
+    "mtext", "mi", "mo", "mn", "ms", "annotation-xml",
 })
 
 # Start tags that do NOT reconstruct active formatting elements before
@@ -723,14 +731,28 @@ class _TreeBuilder(HTMLParser):
         # the flag is the one foreign-content behavior that changes the
         # extracted tree shape.
         if tag in ("svg", "math") or (
-            tag not in VOID_ELEMENTS
-            and any(el.tag_name in ("svg", "math") for el in self.stack)
+            tag not in VOID_ELEMENTS and self._in_foreign_content()
         ):
             self.handle_starttag(tag, attrs)
             if self.stack and self.stack[-1].tag_name == tag:
                 self._pop_upto(len(self.stack) - 1)
             return
         self.handle_starttag(tag, attrs)
+
+    def _in_foreign_content(self) -> bool:
+        """True when the current node is inside foreign (SVG/MathML)
+        content proper. HTML integration points (foreignObject/desc/
+        title, and the MathML text elements) resume HTML token rules —
+        the NEAREST marker on the stack decides, so a <div/> inside
+        <svg><foreignObject> ignores its self-closing flag again,
+        matching x/net/html."""
+        for i in range(len(self.stack) - 1, 0, -1):
+            t = self.stack[i].tag_name
+            if t in _HTML_INTEGRATION_POINTS:
+                return False
+            if t in ("svg", "math"):
+                return True
+        return False
 
     def _foster_point(self):
         """(parent, index) immediately before the nearest open table, or

@@ -481,3 +481,17 @@ class TestAdoptionAgencySpec:
         assert self._body("<p><svg/>x</p>") == "<p><svg></svg>x</p>"
         # HTML elements still ignore the flag
         assert self._body("<div/>x</div>") == "<div>x</div>"
+
+    def test_html_integration_point_resumes_html_rules(self):
+        # inside <foreignObject>/<mtext> the HTML rules resume: a
+        # self-closed non-void HTML element stays OPEN again
+        assert self._body(
+            "<svg><foreignobject><div/>text</foreignobject></svg>"
+        ) == "<svg><foreignobject><div>text</div></foreignobject></svg>"
+        assert self._body("<math><mtext><span/>x</mtext></math>") == (
+            "<math><mtext><span>x</span></mtext></math>"
+        )
+        # nested: svg inside the integration point is foreign again
+        assert self._body(
+            "<svg><desc><svg><path/><path/></svg>y</desc></svg>"
+        ) == "<svg><desc><svg><path></path><path></path></svg>y</desc></svg>"
