@@ -40,7 +40,14 @@ algorithm is sensitive to:
   synthesized (the "in table"/"in table body" reprocess rules)
 
 Not implemented (golden corpora avoid them; fixture-001 does not use
-them): template contents, SVG/MathML foreign content.
+them): the "in template" insertion modes (template children parse
+inline under the template element — the same placement x/net/html
+produces, and the AFE marker keeps formatting from leaking — but
+standalone table parts inside a template are dropped by the stray-
+structure rule instead of being collected), and SVG/MathML namespaces
+(foreign tags parse lowercased as plain elements — matching the
+reference VDOM's lowercasing — with the self-closing flag and HTML
+integration points honored).
 """
 
 from __future__ import annotations
